@@ -1,0 +1,70 @@
+"""Volume-rendering compositing, dense and flat-compacted variants.
+
+Replaces the reference CUDA kernels `composite_rays_train_forward/backward`
+(raymarching/src/raymarching.cu:501-693) and the inference compositor
+(:799-914). Key TPU insight: with alpha_i = 1 - exp(-sigma_i * dt_i) the
+log-transmittance is *exactly* -sum(sigma*dt), so per-ray transmittance over a
+flat ray-contiguous buffer is one global cumsum plus a gather of each
+segment's start value — fully parallel, numerically exact, and autodiff gives
+the reference's hand-derived sigma backward (:662-667) for free.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def composite_dense(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
+                    ts: jnp.ndarray, valid: jnp.ndarray | None = None):
+    """Composite per-ray sample grids.
+
+    Args:
+      sigmas: [N, K]; rgbs: [N, K, 3]; deltas, ts: [N, K];
+      valid: optional [N, K] mask.
+
+    Returns:
+      dict with weights [N, K], weights_sum [N], depth [N], image [N, 3].
+    """
+    sdelta = sigmas * deltas
+    if valid is not None:
+        sdelta = jnp.where(valid, sdelta, 0.0)
+    cum = jnp.cumsum(sdelta, axis=-1)
+    trans = jnp.exp(-(cum - sdelta))  # exclusive
+    alpha = 1.0 - jnp.exp(-sdelta)
+    weights = trans * alpha
+    weights_sum = weights.sum(-1)
+    depth = (weights * ts).sum(-1)
+    image = (weights[..., None] * rgbs).sum(-2)
+    return {"weights": weights, "weights_sum": weights_sum, "depth": depth,
+            "image": image}
+
+
+def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
+                   ts: jnp.ndarray, ray_id: jnp.ndarray, offsets: jnp.ndarray,
+                   valid: jnp.ndarray, num_rays: int):
+    """Composite a flat ray-contiguous compacted buffer (see raymarch.MarchedRays).
+
+    Args:
+      sigmas: [M]; rgbs: [M, 3]; deltas, ts: [M]; ray_id: [M] int32;
+      offsets: [N] segment starts; valid: [M] bool; num_rays: N (static).
+
+    Returns:
+      dict with weights [M], weights_sum [N], depth [N], image [N, 3].
+    """
+    m = sigmas.shape[0]
+    sdelta = jnp.where(valid, sigmas * deltas, 0.0)
+    cum = jnp.cumsum(sdelta)
+    cum_excl = cum - sdelta
+    # Exclusive optical depth accumulated before each segment's start.
+    seg_start = jnp.take(cum_excl, jnp.clip(offsets, 0, m - 1))
+    trans = jnp.exp(-(cum_excl - jnp.take(seg_start, ray_id)))
+    alpha = 1.0 - jnp.exp(-sdelta)
+    weights = jnp.where(valid, trans * alpha, 0.0)
+
+    seg = jnp.zeros((num_rays,), weights.dtype)
+    weights_sum = seg.at[ray_id].add(weights)
+    depth = seg.at[ray_id].add(weights * ts)
+    image = jnp.zeros((num_rays, 3), rgbs.dtype).at[ray_id].add(
+        weights[:, None] * jnp.where(valid[:, None], rgbs, 0.0))
+    return {"weights": weights, "weights_sum": weights_sum, "depth": depth,
+            "image": image}

@@ -1,0 +1,178 @@
+"""Multiresolution hash/tiled grid encoding (instant-NGP style), XLA-native.
+
+Equivalent of the reference gridencoder CUDA extension
+(gridencoder/src/gridencoder.cu:87-366 fwd/bwd, gridencoder/grid.py wrapper):
+L levels of 3D grids, dense ("tiled") when the level fits the table, hashed
+with the 3-prime XOR hash otherwise; trilinear (or smoothstep) interpolation
+of per-corner feature vectors.
+
+TPU design notes:
+- All 8*L corner lookups for a batch are fused into ONE `jnp.take` gather so
+  XLA emits a single large gather instead of 128 small ones.
+- The backward pass (gradient scatter, reference gridencoder.cu:245-337
+  atomicAdd) is the autodiff transpose of the gather: XLA lowers it to a
+  sorted scatter-add — order-independent, no atomics needed.
+- Input gradients (reference's optional dy_dx Jacobian path,
+  gridencoder.cu:198-241) come for free from autodiff through the
+  interpolation weights (d frac / dx = level scale; floor contributes zero).
+- The table stays fp32 (the reference also keeps grids fp32-master under AMP,
+  gridencoder/grid.py:41-44); activations downstream may be bf16.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)
+
+# Static [8, 3] corner offsets of a grid cell.
+_CORNERS = np.array(
+    [[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], dtype=np.int64
+)
+
+
+@dataclass(frozen=True)
+class HashGridConfig:
+    """Static hash-grid hyperparameters (mirrors reference get_encoder args,
+    encoding.py:44-77)."""
+
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 19
+    desired_resolution: int = 2048
+    gridtype: str = "hash"  # 'hash' | 'tiled'
+    align_corners: bool = False
+    interpolation: str = "linear"  # 'linear' | 'smoothstep'
+
+    @cached_property
+    def per_level_scale(self) -> float:
+        if self.num_levels <= 1:
+            return 1.0
+        return math.exp(
+            math.log(self.desired_resolution / self.base_resolution)
+            / (self.num_levels - 1)
+        )
+
+    @cached_property
+    def level_params(self) -> Tuple[Tuple[int, int, int, bool], ...]:
+        """Per level: (resolution, offset, params_in_level, use_hash)."""
+        out = []
+        offset = 0
+        hashmap_size = 2**self.log2_hashmap_size
+        for lvl in range(self.num_levels):
+            scale = self.base_resolution * (self.per_level_scale**lvl)
+            resolution = int(math.ceil(scale)) + 1
+            dense_size = resolution**3
+            # Align each level's block to 8 entries (matches reference layout
+            # logic in gridencoder/grid.py).
+            params_in_level = min(((dense_size + 7) // 8) * 8, hashmap_size)
+            use_hash = self.gridtype == "hash" and dense_size > hashmap_size
+            out.append((resolution, offset, params_in_level, use_hash))
+            offset += params_in_level
+        return tuple(out)
+
+    @cached_property
+    def total_params(self) -> int:
+        res, off, n, _ = self.level_params[-1]
+        return off + n
+
+    @cached_property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+
+def hashgrid_init(key: jax.Array, cfg: HashGridConfig, std: float = 1e-4) -> jnp.ndarray:
+    """Uniform(-std, std) init, matching reference grid.py (std=1e-4)."""
+    return jax.random.uniform(
+        key, (cfg.total_params, cfg.level_dim), jnp.float32, -std, std
+    )
+
+
+def _corner_indices(pos0: jnp.ndarray, resolution: int, use_hash: bool,
+                    params_in_level: int) -> jnp.ndarray:
+    """[M, 8, 3] int corner coords -> [M, 8] table-local indices."""
+    if use_hash:
+        c = pos0.astype(jnp.uint32)
+        h = (
+            c[..., 0] * jnp.uint32(_PRIMES[0])
+            ^ c[..., 1] * jnp.uint32(_PRIMES[1])
+            ^ c[..., 2] * jnp.uint32(_PRIMES[2])
+        )
+        return (h & jnp.uint32(params_in_level - 1)).astype(jnp.int32)
+    stride = jnp.array([1, resolution, resolution * resolution], dtype=jnp.int32)
+    idx = (pos0.astype(jnp.int32) * stride).sum(-1)
+    return jnp.minimum(idx, params_in_level - 1)
+
+
+def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
+    """Encode positions.
+
+    Args:
+      table: [total_params, F] feature table.
+      x: [..., 3] positions in [0, 1] (callers normalize by scene bound, like
+        the reference does at nerf/network.py:100).
+      cfg: static config.
+
+    Returns:
+      [..., L * F] features (level-major, matching reference output layout
+      after its [L,B,C]->[B,L*C] permute, gridencoder/grid.py:47-57).
+    """
+    batch_shape = x.shape[:-1]
+    xf = x.reshape(-1, 3).astype(jnp.float32)
+    m = xf.shape[0]
+    corners = jnp.asarray(_CORNERS, dtype=jnp.int32)  # [8,3]
+
+    all_idx = []
+    all_w = []
+    for resolution, offset, params_in_level, use_hash in cfg.level_params:
+        if cfg.align_corners:
+            scale = resolution - 1
+            pos = xf * scale
+        else:
+            scale = resolution - 1
+            pos = xf * scale + 0.5
+        # Guard inputs slightly outside [0,1]; at the top edge frac becomes 0 so
+        # the (clipped) +1 corner gets zero weight.
+        pos = jnp.clip(pos, 0.0, float(resolution - 1))
+        pos0 = jnp.floor(pos)
+        frac = pos - pos0
+        if cfg.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        cpos = pos0[:, None, :] + corners[None, :, :]  # [M,8,3]
+        cpos = jnp.clip(cpos, 0, resolution - 1)
+        idx = _corner_indices(cpos, resolution, use_hash, params_in_level) + offset
+        w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
+        w = w.prod(-1)  # [M,8]
+        all_idx.append(idx)
+        all_w.append(w)
+
+    idx = jnp.stack(all_idx, axis=1)  # [M, L, 8]
+    w = jnp.stack(all_w, axis=1)  # [M, L, 8]
+    feats = jnp.take(table, idx.reshape(m, -1), axis=0).reshape(
+        m, cfg.num_levels, 8, cfg.level_dim
+    )
+    out = (feats * w[..., None]).sum(axis=2)  # [M, L, F]
+    return out.reshape(*batch_shape, cfg.output_dim)
+
+
+def hashgrid_tv_loss(table: jnp.ndarray, cfg: HashGridConfig, level: int = 0) -> jnp.ndarray:
+    """Total-variation regularizer on one dense level (differentiable analog of
+    reference grad_total_variation, gridencoder.cu:503-642)."""
+    resolution, offset, params_in_level, use_hash = cfg.level_params[level]
+    if use_hash:
+        raise ValueError("TV loss only defined on dense (tiled) levels")
+    n = resolution**3
+    grid = table[offset : offset + n].reshape(resolution, resolution, resolution, -1)
+    tv = 0.0
+    for axis in range(3):
+        d = jnp.diff(grid, axis=axis)
+        tv = tv + jnp.mean(d * d)
+    return tv

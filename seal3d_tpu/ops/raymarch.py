@@ -1,0 +1,219 @@
+"""Occupancy-grid ray marching, recast for TPU/XLA static shapes.
+
+The reference implements marching as irregular CUDA kernels
+(raymarching/src/raymarching.cu):
+- `march_rays_train` (:312-490): per-ray DDA over a cascaded Morton bitfield,
+  two passes with an atomicAdd slot counter producing variable-length sample
+  lists.
+- `march_rays` / `composite_rays` (:700-914): persistent alive-ray list for
+  inference.
+
+TPU recast (SURVEY.md §7): every ray gets a *fixed* ladder of T candidate
+steps (the same cone-stepped `dt = clamp(t * dt_gamma, dt_min, dt_max)`
+schedule, :365); occupancy of all candidates is tested in one vectorized
+bitfield gather (cheap — the expensive part is the field MLP, not the bit
+test); surviving samples are then *compacted* into one flat, ray-contiguous
+sample buffer of static budget M via cumsum arithmetic, so the field network
+runs on a dense [M, 3] batch. Compositing over the flat buffer is a global
+cumsum trick (see composite.py) — no alive lists, no atomics, one fused XLA
+program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from seal3d_tpu.ops.bitfield import GRID_CELLS, GRID_SIZE, bitfield_lookup
+from seal3d_tpu.ops.morton import morton3d
+
+SQRT3 = 1.7320508075688772
+
+
+def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray, aabb: jnp.ndarray,
+                       min_near: float = 0.05):
+    """Slab test of rays vs an axis-aligned box.
+
+    Equivalent of reference `near_far_from_aabb` (raymarching.cu:92-156).
+
+    Args:
+      rays_o, rays_d: [..., 3].
+      aabb: [6] (xmin, ymin, zmin, xmax, ymax, zmax).
+    Returns:
+      nears, fars: [...]; rays that miss get near = far = 1e9 (far < near
+      never happens; miss is encoded as both huge, like the reference).
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) > 1e-15, rays_d, 1e-15)
+    t0 = (aabb[:3] - rays_o) * inv_d
+    t1 = (aabb[3:] - rays_o) * inv_d
+    tmin = jnp.minimum(t0, t1).max(axis=-1)
+    tmax = jnp.maximum(t0, t1).min(axis=-1)
+    near = jnp.maximum(tmin, min_near)
+    far = jnp.maximum(tmax, near + 1e-6)
+    miss = tmax < tmin
+    near = jnp.where(miss, 1e9, near)
+    far = jnp.where(miss, 1e9, far)
+    return near, far
+
+
+def sph_from_ray(rays_o: jnp.ndarray, rays_d: jnp.ndarray, radius: float) -> jnp.ndarray:
+    """Ray ∩ background sphere -> (theta/pi, phi/pi) in [-1, 1].
+
+    Equivalent of reference `sph_from_ray` (raymarching.cu:163-209), used by
+    the background model.
+    """
+    # Solve |o + t d|^2 = r^2 for the far root (d need not be unit).
+    dd = (rays_d * rays_d).sum(-1)
+    od = (rays_o * rays_d).sum(-1)
+    oo = (rays_o * rays_o).sum(-1)
+    disc = jnp.maximum(od * od - dd * (oo - radius * radius), 0.0)
+    t = (-od + jnp.sqrt(disc)) / jnp.maximum(dd, 1e-15)
+    p = rays_o + t[..., None] * rays_d
+    theta = jnp.arctan2(p[..., 1], jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2)) / (jnp.pi / 2)
+    phi = jnp.arctan2(p[..., 0], p[..., 2]) / jnp.pi
+    return jnp.stack([theta, phi], axis=-1)
+
+
+def mip_from_pos(x: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    """Smallest cascade whose [-2^c, 2^c] box contains x (reference
+    raymarching.cu:42-48)."""
+    mx = jnp.abs(x).max(axis=-1)
+    # exponent of mx: mip = ceil(log2(mx)) for mx > 1, else 0.
+    mip = jnp.ceil(jnp.log2(jnp.maximum(mx, 1e-8)))
+    return jnp.clip(mip, 0, max_cascade - 1).astype(jnp.int32)
+
+
+def mip_from_dt(dt: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
+    """Smallest cascade whose cell size exceeds dt (reference
+    raymarching.cu:50-54)."""
+    # Cell size at cascade c is 2 * 2^c / GRID_SIZE.
+    mip = jnp.ceil(jnp.log2(jnp.maximum(dt * GRID_SIZE * 0.5, 1e-8)))
+    return jnp.clip(mip, 0, max_cascade - 1).astype(jnp.int32)
+
+
+def occupancy_at(x: jnp.ndarray, dt: jnp.ndarray, bitfield: jnp.ndarray,
+                 cascades: int) -> jnp.ndarray:
+    """Occupancy bit for world positions x given step size dt."""
+    mip = jnp.maximum(mip_from_pos(x, cascades), mip_from_dt(dt, cascades))
+    mip_bound = jnp.exp2(mip.astype(jnp.float32))
+    # [-bound, bound] -> [0, GRID_SIZE)
+    cell = ((x / mip_bound[..., None] * 0.5 + 0.5) * GRID_SIZE).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, GRID_SIZE - 1)
+    code = morton3d(cell)
+    return bitfield_lookup(bitfield, mip, code)
+
+
+def candidate_ts(nears: jnp.ndarray, fars: jnp.ndarray, num_steps: int,
+                 dt_gamma: float, bound: float, max_steps: int,
+                 perturb: jnp.ndarray | None = None):
+    """Cone-stepped candidate distances along each ray.
+
+    Returns (ts [N, T], dts [N, T], valid [N, T]) with the reference step
+    schedule dt = clamp(t * dt_gamma, dt_min, dt_max) (raymarching.cu:365).
+    `perturb` is an optional [N] uniform jitter of the start offset.
+    """
+    n = nears.shape[0]
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * bound / GRID_SIZE
+    t0 = nears
+    if perturb is not None:
+        t0 = t0 + perturb * dt_min
+
+    if dt_gamma <= 0.0:
+        k = jnp.arange(num_steps, dtype=jnp.float32)
+        ts = t0[:, None] + k[None, :] * dt_min
+        dts = jnp.full_like(ts, dt_min)
+    else:
+        def step(t, _):
+            dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
+            return t + dt, (t, dt)
+
+        _, (ts, dts) = jax.lax.scan(step, t0, None, length=num_steps)
+        ts = jnp.moveaxis(ts, 0, 1)
+        dts = jnp.moveaxis(dts, 0, 1)
+    valid = ts < fars[:, None]
+    return ts, dts, valid
+
+
+class MarchedRays(NamedTuple):
+    """Flat, ray-contiguous compacted sample buffer (static budget M)."""
+
+    xyzs: jnp.ndarray      # [M, 3] sample positions
+    dirs: jnp.ndarray      # [M, 3] ray directions per sample
+    deltas: jnp.ndarray    # [M] marching step length at each sample
+    ts: jnp.ndarray        # [M] distance along ray
+    ray_id: jnp.ndarray    # [M] owning ray index (int32; dump slot rows keep N-1 clipped ids but valid=False)
+    valid: jnp.ndarray     # [M] bool
+    offsets: jnp.ndarray   # [N] start index of each ray's segment in the flat buffer
+    counts: jnp.ndarray    # [N] number of (kept) samples per ray
+
+
+def compact_samples(ts, dts, valid, rays_o, rays_d, budget: int) -> MarchedRays:
+    """Compact per-ray masked candidates [N, T] into a flat [M] buffer.
+
+    This replaces the reference's atomicAdd slot reservation
+    (raymarching.cu:405-406) with deterministic cumsum arithmetic: samples stay
+    ordered by (ray, t) and each ray's segment is contiguous. Samples beyond
+    the budget are dropped (the reference similarly drops rays when the
+    `mean_count` pre-allocation is exceeded, raymarching/raymarching.py:198-204).
+    """
+    n, t = ts.shape
+    v = valid.astype(jnp.int32)
+    rank = jnp.cumsum(v, axis=1)  # 1-based within-ray rank
+    counts = rank[:, -1]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    g = offsets[:, None] + rank - 1  # [N, T] flat slot
+    in_budget = valid & (g < budget) & (g >= 0)
+    # Dropped/invalid samples go to the dump slot `budget`.
+    gi = jnp.where(in_budget, g, budget).reshape(-1)
+
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+
+    def scatter(src, width=None):
+        flat = src.reshape(n * t, -1)
+        out = jnp.zeros((budget + 1, flat.shape[-1]), flat.dtype)
+        out = out.at[gi].set(flat, mode="drop")
+        return out[:budget]
+
+    xyzs = scatter(xyz)
+    dirs_f = scatter(dirs)
+    deltas = scatter(dts)[:, 0]
+    ts_f = scatter(ts)[:, 0]
+    ray_ids_full = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, t))
+    ray_id = scatter(ray_ids_full)[:, 0]
+    valid_f = scatter(in_budget.astype(jnp.int32))[:, 0].astype(jnp.bool_)
+    # counts clipped to what actually landed in budget
+    kept = jnp.clip(jnp.minimum(offsets + counts, budget) - jnp.minimum(offsets, budget), 0)
+    return MarchedRays(
+        xyzs=xyzs, dirs=dirs_f, deltas=deltas, ts=ts_f,
+        ray_id=jnp.clip(ray_id, 0, n - 1), valid=valid_f,
+        offsets=jnp.minimum(offsets, budget), counts=kept,
+    )
+
+
+def march_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, bitfield: jnp.ndarray,
+               bound: float, cascades: int, dt_gamma: float, max_steps: int,
+               budget: int, num_candidates: int | None = None,
+               perturb: jnp.ndarray | None = None,
+               min_near: float = 0.05,
+               aabb: jnp.ndarray | None = None) -> MarchedRays:
+    """Full occupancy march: AABB clip -> candidate ladder -> bit test -> compact.
+
+    Equivalent of reference `march_rays_train` (raymarching.cu:312-490) for a
+    whole ray batch; also serves inference (reference march_rays :700-797) —
+    there is no separate alive-list path on TPU, the budget plays that role.
+    """
+    if aabb is None:
+        aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
+    if num_candidates is None:
+        num_candidates = max_steps
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
+                                  max_steps, perturb)
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    occ = occupancy_at(xyz, dts, bitfield, cascades)
+    valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
+    return compact_samples(ts, dts, valid, rays_o, rays_d, budget)

@@ -1,0 +1,210 @@
+"""Unit tests for the core ops layer (morton, bitfield, encoders, marching,
+compositing). Testing strategy per SURVEY.md §4: dense numpy/scipy oracles +
+float64 gradchecks, replacing the reference's eyeball-style testing/ scripts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seal3d_tpu.ops import (
+    bitfield_lookup,
+    freq_encode,
+    hashgrid_encode,
+    hashgrid_init,
+    HashGridConfig,
+    morton3d,
+    morton3d_invert,
+    near_far_from_aabb,
+    packbits,
+    sh_encode,
+    trunc_exp,
+)
+from seal3d_tpu.ops.composite import composite_dense, composite_flat
+from seal3d_tpu.ops.raymarch import candidate_ts, compact_samples, march_rays
+
+
+def _morton_ref(x, y, z):
+    out = 0
+    for i in range(10):
+        out |= ((x >> i) & 1) << (3 * i)
+        out |= ((y >> i) & 1) << (3 * i + 1)
+        out |= ((z >> i) & 1) << (3 * i + 2)
+    return out
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(0)
+    coords = rng.integers(0, 128, size=(256, 3)).astype(np.int32)
+    codes = np.asarray(morton3d(jnp.asarray(coords)))
+    expected = np.array([_morton_ref(*c) for c in coords], dtype=np.uint32)
+    np.testing.assert_array_equal(codes, expected)
+    back = np.asarray(morton3d_invert(jnp.asarray(codes)))
+    np.testing.assert_array_equal(back, coords)
+
+
+def test_packbits_and_lookup():
+    rng = np.random.default_rng(1)
+    grid = rng.uniform(-1, 1, size=(2, 128**3)).astype(np.float32)
+    bf = packbits(jnp.asarray(grid), 0.5)
+    cells = rng.integers(0, 128**3, size=(512,))
+    cas = rng.integers(0, 2, size=(512,))
+    bits = np.asarray(bitfield_lookup(bf, jnp.asarray(cas), jnp.asarray(cells, dtype=np.uint32)))
+    np.testing.assert_array_equal(bits, grid[cas, cells] > 0.5)
+
+
+def test_trunc_exp_grad():
+    g = jax.grad(lambda x: trunc_exp(x))(20.0)
+    assert np.isfinite(g)
+    np.testing.assert_allclose(g, np.exp(15.0), rtol=1e-5)
+    g2 = jax.grad(lambda x: trunc_exp(x))(1.5)
+    np.testing.assert_allclose(g2, np.exp(1.5), rtol=1e-5)
+
+
+def test_freq_encode_shape_and_values():
+    x = jnp.array([[0.3, -0.2, 0.9]])
+    out = freq_encode(x, degree=2)
+    assert out.shape == (1, 3 * 5)
+    np.testing.assert_allclose(out[0, :3], x[0], rtol=1e-6)
+    np.testing.assert_allclose(out[0, 3:6], np.sin(np.asarray(x[0])), rtol=1e-5)
+    np.testing.assert_allclose(out[0, 9:12], np.sin(2 * np.asarray(x[0])), rtol=1e-5)
+
+
+def test_sh_orthonormality():
+    """SH basis integrates to ~orthonormal over the sphere (Monte Carlo)."""
+    rng = np.random.default_rng(2)
+    d = rng.normal(size=(200000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    for degree in (3, 4, 6):
+        y = np.asarray(sh_encode(jnp.asarray(d, dtype=jnp.float32), degree))
+        gram = y.T @ y / d.shape[0] * 4 * np.pi
+        np.testing.assert_allclose(gram, np.eye(degree**2), atol=0.15)
+
+
+def test_sh_degree4_matches_known_constants():
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    y = np.asarray(sh_encode(d, 4))[0]
+    np.testing.assert_allclose(y[0], 0.28209479, rtol=1e-6)
+    np.testing.assert_allclose(y[2], 0.48860251, rtol=1e-6)  # z component
+    np.testing.assert_allclose(y[1], 0.0, atol=1e-7)
+
+
+def test_hashgrid_interpolation_consistency():
+    """Feature field is continuous & exactly interpolates between corners on a
+    dense (tiled) level."""
+    cfg = HashGridConfig(num_levels=2, level_dim=2, base_resolution=4,
+                         desired_resolution=8, log2_hashmap_size=16)
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg, std=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    out = hashgrid_encode(table, x, cfg)
+    assert out.shape == (64, 4)
+    # continuity: small perturbation -> small output change
+    out2 = hashgrid_encode(table, x + 1e-5, cfg)
+    np.testing.assert_allclose(out, out2, atol=1e-3)
+
+
+def test_hashgrid_gradcheck():
+    """float64-style gradcheck vs numerical differences (the reference uses
+    torch.autograd.gradcheck, testing/test_hashgrid_grad.py:59-62)."""
+    cfg = HashGridConfig(num_levels=2, level_dim=1, base_resolution=4,
+                         desired_resolution=8, log2_hashmap_size=10)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        table = hashgrid_init(jax.random.PRNGKey(0), cfg, std=0.5).astype(jnp.float64)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (8, 3), dtype=jnp.float64) * 0.8 + 0.1
+
+        def f(t):
+            return hashgrid_encode(t, x, cfg).sum()
+
+        g = jax.grad(f)(table)
+        eps = 1e-5
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            i = int(rng.integers(0, table.shape[0]))
+            t1 = table.at[i, 0].add(eps)
+            t2 = table.at[i, 0].add(-eps)
+            num = (f(t1) - f(t2)) / (2 * eps)
+            np.testing.assert_allclose(g[i, 0], num, rtol=1e-5, atol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_near_far_aabb():
+    aabb = jnp.array([-1.0, -1, -1, 1, 1, 1])
+    o = jnp.array([[0.0, 0, -3], [0, 0, -3]])
+    d = jnp.array([[0.0, 0, 1], [0, 1, 0]])  # hit, miss
+    near, far = near_far_from_aabb(o, d, aabb)
+    np.testing.assert_allclose(near[0], 2.0, rtol=1e-5)
+    np.testing.assert_allclose(far[0], 4.0, rtol=1e-5)
+    assert near[1] > 1e8
+
+
+def test_composite_dense_matches_bruteforce():
+    rng = np.random.default_rng(4)
+    n, k = 8, 16
+    sig = jnp.asarray(rng.uniform(0, 5, (n, k)).astype(np.float32))
+    rgb = jnp.asarray(rng.uniform(0, 1, (n, k, 3)).astype(np.float32))
+    dts = jnp.asarray(rng.uniform(0.01, 0.1, (n, k)).astype(np.float32))
+    ts = jnp.cumsum(dts, axis=-1)
+    out = composite_dense(sig, rgb, dts, ts)
+    # brute force
+    T = np.ones(n)
+    img = np.zeros((n, 3))
+    wsum = np.zeros(n)
+    for j in range(k):
+        a = 1 - np.exp(-np.asarray(sig[:, j]) * np.asarray(dts[:, j]))
+        w = T * a
+        img += w[:, None] * np.asarray(rgb[:, j])
+        wsum += w
+        T = T * (1 - a)
+    np.testing.assert_allclose(out["image"], img, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["weights_sum"], wsum, rtol=1e-4, atol=1e-5)
+
+
+def test_compact_and_flat_composite_match_dense():
+    """The compacted flat path must reproduce the dense masked path exactly."""
+    rng = np.random.default_rng(5)
+    n, t = 16, 32
+    rays_o = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    ts = jnp.asarray(np.sort(rng.uniform(0.1, 3.0, (n, t)), axis=1).astype(np.float32))
+    dts = jnp.asarray(rng.uniform(0.01, 0.05, (n, t)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=(n, t)) > 0.4)
+    budget = int(np.asarray(valid).sum()) + 3
+
+    marched = compact_samples(ts, dts, valid, rays_o, rays_d, budget)
+    sig_fn = lambda x: 2.0 + jnp.sin(x.sum(-1))
+    rgb_fn = lambda x: jax.nn.sigmoid(x)
+
+    sig_flat = sig_fn(marched.xyzs) * marched.valid
+    rgb_flat = rgb_fn(marched.xyzs)
+    out_flat = composite_flat(sig_flat, rgb_flat, marched.deltas, marched.ts,
+                              marched.ray_id, marched.offsets, marched.valid, n)
+
+    xyz_dense = rays_o[:, None] + ts[..., None] * rays_d[:, None]
+    sig_dense = jnp.where(valid, sig_fn(xyz_dense), 0.0)
+    out_dense = composite_dense(sig_dense, rgb_fn(xyz_dense), dts, ts, valid)
+
+    np.testing.assert_allclose(out_flat["image"], out_dense["image"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_flat["weights_sum"], out_dense["weights_sum"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_flat["depth"], out_dense["depth"], rtol=1e-4, atol=1e-5)
+
+
+def test_march_rays_hits_occupied_region():
+    """March through a bitfield with one occupied octant; samples must land there."""
+    from seal3d_tpu.ops.bitfield import GRID_CELLS
+    from seal3d_tpu.ops.morton import morton3d_invert
+
+    coords = morton3d_invert(jnp.arange(GRID_CELLS, dtype=jnp.uint32))
+    # occupy cells with x,y,z all in upper half (world > 0 octant)
+    occ = (np.asarray(coords) >= 64).all(-1).astype(np.float32)
+    bf = packbits(jnp.asarray(occ)[None, :], 0.5)
+
+    o = jnp.array([[0.5, 0.5, -2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    m = march_rays(o, d, bf, bound=1.0, cascades=1, dt_gamma=0.0,
+                   max_steps=256, budget=256)
+    pts = np.asarray(m.xyzs)[np.asarray(m.valid)]
+    assert len(pts) > 10
+    assert (pts >= -0.02).all(), pts.min(0)
