@@ -1,0 +1,107 @@
+"""Procedural analytic scene + ground-truth renderer.
+
+The execution environment ships no NeRF datasets (no lego), so benchmarks and
+end-to-end tests synthesize one: an analytic density/color field (colored
+blobs + a box on a stand, lego-ish occupancy sparsity) rendered to
+ground-truth images with the dense compositor. Training any backbone against
+these images gives a real PSNR signal with zero external data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seal3d_tpu.data.provider import NeRFDataset, rand_poses
+from seal3d_tpu.data.rays import get_full_rays
+from seal3d_tpu.ops.composite import composite_dense
+
+
+@dataclass(frozen=True)
+class SyntheticScene:
+    """A fixed arrangement of soft solids inside [-bound, bound]^3."""
+
+    bound: float = 1.0
+    density_scale: float = 60.0
+
+    def density(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[..., 3] -> [...] sigma (smooth indicators, VPU-only math)."""
+        k = 60.0  # edge sharpness
+
+        def ball(c, r):
+            d = jnp.linalg.norm(x - jnp.asarray(c), axis=-1) - r
+            return jax.nn.sigmoid(-k * d)
+
+        def box(c, half):
+            q = jnp.abs(x - jnp.asarray(c)) - jnp.asarray(half)
+            d = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(q.max(-1), 0.0)
+            return jax.nn.sigmoid(-k * d)
+
+        def torus(c, R, r):
+            p = x - jnp.asarray(c)
+            q = jnp.stack([jnp.sqrt(p[..., 0] ** 2 + p[..., 2] ** 2) - R, p[..., 1]], -1)
+            d = jnp.linalg.norm(q, axis=-1) - r
+            return jax.nn.sigmoid(-k * d)
+
+        occ = (
+            ball([0.35, 0.1, 0.0], 0.22)
+            + ball([-0.3, -0.05, 0.25], 0.18)
+            + box([0.0, -0.35, 0.0], [0.45, 0.08, 0.45])
+            + torus([0.0, 0.25, -0.2], 0.28, 0.09)
+        )
+        return self.density_scale * jnp.clip(occ, 0.0, 1.0)
+
+    def color(self, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+        """[..., 3], [..., 3] -> [..., 3] albedo with mild view-dependence."""
+        base = jnp.stack(
+            [
+                0.5 + 0.5 * jnp.sin(4.0 * x[..., 0]),
+                0.5 + 0.5 * jnp.sin(5.0 * x[..., 1] + 1.0),
+                0.5 + 0.5 * jnp.cos(4.0 * x[..., 2]),
+            ],
+            axis=-1,
+        )
+        sheen = 0.15 * (0.5 + 0.5 * (d * jnp.array([0.0, 1.0, 0.0])).sum(-1))
+        return jnp.clip(base + sheen[..., None], 0.0, 1.0)
+
+    def render_rays(self, rays_o, rays_d, num_steps: int = 384, bg: float = 1.0):
+        near = jnp.full(rays_o.shape[:-1], 0.05)
+        far = jnp.full(rays_o.shape[:-1], 2.0 * self.bound + 2.0)
+        z = near[..., None] + (far - near)[..., None] * jnp.linspace(0.0, 1.0, num_steps)
+        xyz = rays_o[:, None] + z[..., None] * rays_d[:, None]
+        inside = (jnp.abs(xyz) <= self.bound).all(-1)
+        sigma = jnp.where(inside, self.density(xyz), 0.0)
+        rgb = self.color(xyz, jnp.broadcast_to(rays_d[:, None], xyz.shape))
+        deltas = jnp.diff(z, axis=-1)
+        deltas = jnp.concatenate([deltas, deltas[..., -1:]], -1)
+        out = composite_dense(sigma, rgb, deltas, z)
+        image = out["image"] + (1.0 - out["weights_sum"])[:, None] * bg
+        return image, out["depth"]
+
+    def render_view(self, pose, intrinsics, h: int, w: int, chunk: int = 8192):
+        rays = get_full_rays(jnp.asarray(pose), jnp.asarray(intrinsics), h, w)
+        imgs, deps = [], []
+        render = jax.jit(self.render_rays)
+        for i in range(0, h * w, chunk):
+            img, dep = render(rays["rays_o"][i : i + chunk], rays["rays_d"][i : i + chunk])
+            imgs.append(img)
+            deps.append(dep)
+        return (jnp.concatenate(imgs).reshape(h, w, 3),
+                jnp.concatenate(deps).reshape(h, w))
+
+    def make_dataset(self, n_views: int = 24, h: int = 128, w: int = 128,
+                     radius: float = 2.2, seed: int = 0,
+                     fov_deg: float = 50.0) -> NeRFDataset:
+        rng = np.random.default_rng(seed)
+        poses = rand_poses(rng, n_views, radius=radius, theta_range=(30, 120))
+        fx = fy = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
+        intr = np.array([fx, fy, w / 2.0, h / 2.0], np.float32)
+        images = []
+        for p in poses:
+            img, _ = self.render_view(p, intr, h, w)
+            images.append(np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8))
+        return NeRFDataset(poses=poses.astype(np.float32), images=np.stack(images),
+                           intrinsics=intr, h=h, w=w, radius=radius)

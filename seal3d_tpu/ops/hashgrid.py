@@ -30,12 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_PRIMES = (1, 2654435761, 805459861)
+_PRIMES = (1, 2654435761, 805459861, 3674653429)
 
-# Static [8, 3] corner offsets of a grid cell.
-_CORNERS = np.array(
-    [[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], dtype=np.int64
-)
+
+def _corner_offsets(dim: int) -> np.ndarray:
+    """Static [2^dim, dim] corner offsets of a grid cell."""
+    return np.array(
+        [[(i >> d) & 1 for d in range(dim)] for i in range(2**dim)], dtype=np.int64
+    )
 
 
 @dataclass(frozen=True)
@@ -51,6 +53,7 @@ class HashGridConfig:
     gridtype: str = "hash"  # 'hash' | 'tiled'
     align_corners: bool = False
     interpolation: str = "linear"  # 'linear' | 'smoothstep'
+    input_dim: int = 3  # 2 for the background sphere encoder
 
     @cached_property
     def per_level_scale(self) -> float:
@@ -70,7 +73,7 @@ class HashGridConfig:
         for lvl in range(self.num_levels):
             scale = self.base_resolution * (self.per_level_scale**lvl)
             resolution = int(math.ceil(scale)) + 1
-            dense_size = resolution**3
+            dense_size = resolution**self.input_dim
             # Align each level's block to 8 entries (matches reference layout
             # logic in gridencoder/grid.py).
             params_in_level = min(((dense_size + 7) // 8) * 8, hashmap_size)
@@ -97,17 +100,15 @@ def hashgrid_init(key: jax.Array, cfg: HashGridConfig, std: float = 1e-4) -> jnp
 
 
 def _corner_indices(pos0: jnp.ndarray, resolution: int, use_hash: bool,
-                    params_in_level: int) -> jnp.ndarray:
-    """[M, 8, 3] int corner coords -> [M, 8] table-local indices."""
+                    params_in_level: int, dim: int) -> jnp.ndarray:
+    """[M, 2^dim, dim] int corner coords -> [M, 2^dim] table-local indices."""
     if use_hash:
         c = pos0.astype(jnp.uint32)
-        h = (
-            c[..., 0] * jnp.uint32(_PRIMES[0])
-            ^ c[..., 1] * jnp.uint32(_PRIMES[1])
-            ^ c[..., 2] * jnp.uint32(_PRIMES[2])
-        )
+        h = c[..., 0] * jnp.uint32(_PRIMES[0])
+        for d in range(1, dim):
+            h = h ^ c[..., d] * jnp.uint32(_PRIMES[d])
         return (h & jnp.uint32(params_in_level - 1)).astype(jnp.int32)
-    stride = jnp.array([1, resolution, resolution * resolution], dtype=jnp.int32)
+    stride = jnp.array([resolution**d for d in range(dim)], dtype=jnp.int32)
     idx = (pos0.astype(jnp.int32) * stride).sum(-1)
     return jnp.minimum(idx, params_in_level - 1)
 
@@ -117,18 +118,20 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
 
     Args:
       table: [total_params, F] feature table.
-      x: [..., 3] positions in [0, 1] (callers normalize by scene bound, like
-        the reference does at nerf/network.py:100).
+      x: [..., input_dim] positions in [0, 1] (callers normalize by scene
+        bound, like the reference does at nerf/network.py:100).
       cfg: static config.
 
     Returns:
       [..., L * F] features (level-major, matching reference output layout
       after its [L,B,C]->[B,L*C] permute, gridencoder/grid.py:47-57).
     """
+    dim = cfg.input_dim
     batch_shape = x.shape[:-1]
-    xf = x.reshape(-1, 3).astype(jnp.float32)
+    xf = x.reshape(-1, dim).astype(jnp.float32)
     m = xf.shape[0]
-    corners = jnp.asarray(_CORNERS, dtype=jnp.int32)  # [8,3]
+    corners = jnp.asarray(_corner_offsets(dim), dtype=jnp.int32)  # [2^dim, dim]
+    n_corners = 2**dim
 
     all_idx = []
     all_w = []
@@ -146,18 +149,18 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
         frac = pos - pos0
         if cfg.interpolation == "smoothstep":
             frac = frac * frac * (3.0 - 2.0 * frac)
-        cpos = pos0[:, None, :] + corners[None, :, :]  # [M,8,3]
+        cpos = pos0[:, None, :] + corners[None, :, :]  # [M, 2^dim, dim]
         cpos = jnp.clip(cpos, 0, resolution - 1)
-        idx = _corner_indices(cpos, resolution, use_hash, params_in_level) + offset
+        idx = _corner_indices(cpos, resolution, use_hash, params_in_level, dim) + offset
         w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
         w = w.prod(-1)  # [M,8]
         all_idx.append(idx)
         all_w.append(w)
 
-    idx = jnp.stack(all_idx, axis=1)  # [M, L, 8]
-    w = jnp.stack(all_w, axis=1)  # [M, L, 8]
+    idx = jnp.stack(all_idx, axis=1)  # [M, L, 2^dim]
+    w = jnp.stack(all_w, axis=1)  # [M, L, 2^dim]
     feats = jnp.take(table, idx.reshape(m, -1), axis=0).reshape(
-        m, cfg.num_levels, 8, cfg.level_dim
+        m, cfg.num_levels, n_corners, cfg.level_dim
     )
     out = (feats * w[..., None]).sum(axis=2)  # [M, L, F]
     return out.reshape(*batch_shape, cfg.output_dim)
@@ -169,10 +172,10 @@ def hashgrid_tv_loss(table: jnp.ndarray, cfg: HashGridConfig, level: int = 0) ->
     resolution, offset, params_in_level, use_hash = cfg.level_params[level]
     if use_hash:
         raise ValueError("TV loss only defined on dense (tiled) levels")
-    n = resolution**3
-    grid = table[offset : offset + n].reshape(resolution, resolution, resolution, -1)
+    n = resolution**cfg.input_dim
+    grid = table[offset : offset + n].reshape((resolution,) * cfg.input_dim + (-1,))
     tv = 0.0
-    for axis in range(3):
+    for axis in range(cfg.input_dim):
         d = jnp.diff(grid, axis=axis)
         tv = tv + jnp.mean(d * d)
     return tv

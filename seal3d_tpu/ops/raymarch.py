@@ -94,10 +94,13 @@ def mip_from_dt(dt: jnp.ndarray, max_cascade: int) -> jnp.ndarray:
 
 
 def occupancy_at(x: jnp.ndarray, dt: jnp.ndarray, bitfield: jnp.ndarray,
-                 cascades: int) -> jnp.ndarray:
+                 cascades: int, bound: float = None) -> jnp.ndarray:
     """Occupancy bit for world positions x given step size dt."""
     mip = jnp.maximum(mip_from_pos(x, cascades), mip_from_dt(dt, cascades))
     mip_bound = jnp.exp2(mip.astype(jnp.float32))
+    if bound is not None:
+        # Last cascade covers [-bound, bound] (reference fminf(scalbnf(1,c), bound)).
+        mip_bound = jnp.minimum(mip_bound, bound)
     # [-bound, bound] -> [0, GRID_SIZE)
     cell = ((x / mip_bound[..., None] * 0.5 + 0.5) * GRID_SIZE).astype(jnp.int32)
     cell = jnp.clip(cell, 0, GRID_SIZE - 1)
@@ -214,6 +217,6 @@ def march_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, bitfield: jnp.ndarray,
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
                                   max_steps, perturb)
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    occ = occupancy_at(xyz, dts, bitfield, cascades)
+    occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
     valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
     return compact_samples(ts, dts, valid, rays_o, rays_d, budget)

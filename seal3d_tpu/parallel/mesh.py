@@ -1,0 +1,50 @@
+"""SPMD scaling over a device mesh.
+
+The reference's parallelism story is vestigial single-host DDP over NCCL
+(nerf/utils.py:330-332, 939-954; never actually enabled — SURVEY.md §2.3).
+The TPU-native equivalent is one `jax.sharding.Mesh` with a `data` axis over
+ICI: the per-step ray batch (and every tensor derived from it: samples,
+field activations, losses) is sharded along `data`; field params, occupancy
+grid and optimizer state are replicated. Gradients are reduced by the
+`psum` XLA inserts automatically for the replicated-param/sharded-batch
+layout — no hand-written collectives in the hot path.
+
+Eval image assembly uses the same constraint; outputs come back fully
+addressable (the driver-side all_gather is XLA's).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), ("data",))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rays(tree, mesh: Optional[Mesh]):
+    """Constrain every array in `tree` to be sharded on its leading (ray)
+    axis. No-op without a mesh."""
+    if mesh is None:
+        return tree
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*(("data",) + (None,) * (x.ndim - 1))))
+        ),
+        tree,
+    )

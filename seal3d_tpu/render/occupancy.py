@@ -1,0 +1,167 @@
+"""Multi-cascade occupancy grid maintenance.
+
+Equivalent of the reference's density-grid state and `update_extra_state` /
+`mark_untrained_grid` (nerf/renderer.py:87-101, 379-442, 444-538), redesigned
+as a pure functional state transition that stays inside jit:
+
+- full updates re-query the field at every cell (first 16 updates),
+- partial updates re-query a fixed-size random subset: half uniform cells,
+  half drawn from currently-occupied cells (static-shape analog of the
+  reference's nonzero+randint resampling, renderer.py:488-514),
+- EMA max decay 0.95, threshold min(mean_density, density_thresh), then
+  repack the Morton-ordered bitfield.
+
+Cells marked untrained (-1 by `mark_untrained`) never become occupied.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from seal3d_tpu.ops.bitfield import GRID_CELLS, GRID_SIZE, packbits
+from seal3d_tpu.ops.morton import morton3d, morton3d_invert
+
+
+class OccupancyState(NamedTuple):
+    density_grid: jnp.ndarray   # [C, H^3] f32, Morton order; -1 = untrained
+    bitfield: jnp.ndarray       # [C * H^3 / 8] uint8
+    mean_density: jnp.ndarray   # scalar f32
+    iter_density: jnp.ndarray   # scalar int32 — number of updates so far
+    mean_count: jnp.ndarray     # scalar f32 — EMA of samples/batch (march budget diagnostics)
+
+
+def occupancy_init(cascades: int) -> OccupancyState:
+    return OccupancyState(
+        density_grid=jnp.zeros((cascades, GRID_CELLS), jnp.float32),
+        bitfield=jnp.zeros((cascades * GRID_CELLS // 8,), jnp.uint8),
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+        mean_count=jnp.full((), -1.0, jnp.float32),
+    )
+
+
+def cell_world_positions(key: jax.Array, codes: jnp.ndarray, cascade: int,
+                         bound: float) -> jnp.ndarray:
+    """Morton codes -> jittered world positions inside each cell of cascade c.
+
+    Cascade c covers [-b_c, b_c]^3 with b_c = min(2^c, bound).
+    """
+    coords = morton3d_invert(codes).astype(jnp.float32)  # [M, 3] in [0,128)
+    jitter = jax.random.uniform(key, coords.shape)
+    unit = (coords + jitter) / GRID_SIZE  # [0, 1)
+    b = min(float(2**cascade), float(bound))  # reference: fminf(scalbnf(1,c), bound)
+    return (unit * 2.0 - 1.0) * b
+
+
+def occupancy_update(
+    state: OccupancyState,
+    density_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+    bound: float,
+    density_thresh: float = 0.01,
+    decay: float = 0.95,
+    full: bool = True,
+    partial_cells: int = GRID_CELLS // 4,
+) -> OccupancyState:
+    """One maintenance step.
+
+    Args:
+      density_fn: [M, 3] world positions -> [M] sigma (already density-scaled).
+      full: python-static switch; callers use full for the first 16 updates
+        (reference renderer.py:456-514).
+    """
+    cascades = state.density_grid.shape[0]
+    grid = state.density_grid
+
+    if full:
+        new_vals = jnp.zeros_like(grid)
+        written = jnp.ones_like(grid, dtype=bool)
+        codes = jnp.arange(GRID_CELLS, dtype=jnp.uint32)
+        for cas in range(cascades):
+            key, sub = jax.random.split(key)
+            xs = cell_world_positions(sub, codes, cas, bound)
+            new_vals = new_vals.at[cas].set(density_fn(xs))
+    else:
+        # Static-size partial refresh: per cascade, `partial_cells` uniform
+        # cells + `partial_cells` occupied-biased cells.
+        new_vals = jnp.zeros_like(grid)
+        written = jnp.zeros_like(grid, dtype=bool)
+        for cas in range(cascades):
+            key, k1, k2, k3 = jax.random.split(key, 4)
+            uni = jax.random.randint(k1, (partial_cells,), 0, GRID_CELLS).astype(jnp.uint32)
+            occ_logits = jnp.where(grid[cas] > 0.0, 0.0, -1e9)
+            occ = jax.random.categorical(k2, occ_logits, shape=(partial_cells,)).astype(jnp.uint32)
+            codes = jnp.concatenate([uni, occ])
+            xs = cell_world_positions(k3, codes, cas, bound)
+            vals = density_fn(xs)
+            new_vals = new_vals.at[cas, codes].max(vals)
+            written = written.at[cas, codes].set(True)
+
+    trained = grid >= 0.0
+    decayed = jnp.where(written, jnp.maximum(grid * decay, new_vals), grid)
+    grid = jnp.where(trained, decayed, grid)
+
+    mean_density = jnp.where(trained, grid, 0.0).sum() / jnp.maximum(trained.sum(), 1)
+    thresh = jnp.minimum(mean_density, density_thresh)
+    bitfield = packbits(grid, thresh)
+    return OccupancyState(
+        density_grid=grid,
+        bitfield=bitfield,
+        mean_density=mean_density,
+        iter_density=state.iter_density + 1,
+        mean_count=state.mean_count,
+    )
+
+
+def mark_untrained(state: OccupancyState, poses: jnp.ndarray,
+                   intrinsics: jnp.ndarray, bound: float,
+                   chunk: int = GRID_CELLS // 8) -> OccupancyState:
+    """Mark cells invisible from every training camera with density -1.
+
+    Equivalent of reference mark_untrained_grid (nerf/renderer.py:379-442):
+    a cell survives if its center projects inside the image frustum of at
+    least one camera. Pose convention matches data/rays.py: camera-to-world
+    with +z forward (the ngp convention produced by nerf_matrix_to_ngp).
+
+    Args:
+      poses: [B, 4, 4] camera-to-world.
+      intrinsics: [4] (fx, fy, cx, cy).
+    """
+    fx, fy, cx, cy = intrinsics[0], intrinsics[1], intrinsics[2], intrinsics[3]
+    cam_pos = poses[:, :3, 3]  # [B, 3]
+    rot = poses[:, :3, :3]  # [B, 3, 3] camera-to-world
+
+    cascades = state.density_grid.shape[0]
+    codes = jnp.arange(GRID_CELLS, dtype=jnp.uint32)
+    coords = morton3d_invert(codes).astype(jnp.float32)
+    unit = (coords + 0.5) / GRID_SIZE
+
+    grid = state.density_grid
+    for cas in range(cascades):
+        b = min(float(2**cas), float(bound))
+        world = (unit * 2.0 - 1.0) * b  # [N, 3]
+
+        def visible_any(cells):
+            rel = cells[:, None, :] - cam_pos[None, :, :]  # [n, B, 3]
+            # world->camera: R^T @ rel
+            cam = jnp.einsum("bij,nbi->nbj", rot, rel)  # [n, B, 3]
+            z = cam[..., 2]
+            eps = 1e-6
+            in_front = z > eps
+            # Frustum half-extents with a small slack so cells straddling the
+            # image border stay trained (reference uses half-voxel tolerance).
+            half_w = 1.05 * cx / fx
+            half_h = 1.05 * cy / fy
+            ok_x = jnp.abs(cam[..., 0] / jnp.maximum(z, eps)) < half_w
+            ok_y = jnp.abs(cam[..., 1] / jnp.maximum(z, eps)) < half_h
+            return (in_front & ok_x & ok_y).any(axis=1)
+
+        vis = jnp.concatenate(
+            [visible_any(world[i : i + chunk]) for i in range(0, GRID_CELLS, chunk)]
+        )
+        grid = grid.at[cas].set(jnp.where(vis, grid[cas], -1.0))
+
+    return state._replace(density_grid=grid)

@@ -1,0 +1,180 @@
+"""Volume renderer: occupancy-compacted fast path + dense oracle path.
+
+Functional equivalent of reference NeRFRenderer (nerf/renderer.py:61-573):
+- `render_rays` replaces `run_cuda` (:256-372) for BOTH training and
+  inference: one static-shape march -> compact -> field query -> flat
+  composite program (no alive-ray loop; the sample budget plays that role).
+- `render_rays_dense` replaces the pure-PyTorch `run` (:125-253): stratified
+  sampling + PDF importance upsampling. It is the golden oracle for the fast
+  path (SURVEY.md §4).
+
+Both are pure functions of (params, occupancy bitfield, rays) and jit/vmap/
+shard_map-compatible; chunking/stage dispatch lives in train/trainer.py.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+
+from seal3d_tpu.ops.composite import composite_dense, composite_flat
+from seal3d_tpu.ops.raymarch import march_rays, near_far_from_aabb, sph_from_ray
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Static render options (the typed replacement for the reference's
+    untyped `**vars(opt)` plumbing, nerf/utils.py:478)."""
+
+    bound: float = 1.0
+    dt_gamma: float = 0.0
+    max_steps: int = 1024
+    budget_per_ray: int = 64     # flat sample budget = N_rays * this
+    num_candidates: int = 1024   # candidate ladder length for the fast path
+    num_steps: int = 128         # dense path: stratified samples
+    upsample_steps: int = 128    # dense path: PDF importance samples
+    min_near: float = 0.2
+    density_scale: float = 1.0
+    bg_radius: float = -1.0
+
+    @cached_property
+    def cascades(self) -> int:
+        return 1 + math.ceil(math.log2(self.bound)) if self.bound > 1 else 1
+
+    @cached_property
+    def aabb(self):
+        b = self.bound
+        return (-b, -b, -b, b, b, b)
+
+
+def _background(field, params, cfg, opts, rays_o, rays_d, bg_color):
+    if opts.bg_radius > 0 and hasattr(field, "background"):
+        sph = sph_from_ray(rays_o, rays_d, opts.bg_radius)
+        return field.background(params, cfg, sph, rays_d)
+    return bg_color
+
+
+def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
+                opts: RenderOptions, key=None, bg_color=1.0,
+                aabb=None, perturb: bool = False):
+    """Occupancy-grid fast path over a ray batch.
+
+    Args:
+      params: field params pytree.
+      field: backbone module (models.ngp etc.).
+      cfg: backbone config.
+      bitfield: [C*H^3/8] uint8 occupancy bitfield.
+      rays_o, rays_d: [N, 3] (d unit-norm).
+      key: optional PRNG key; with perturb=True jitters march start offsets.
+      bg_color: scalar or [3] or [N, 3].
+
+    Returns:
+      dict(image [N,3], depth [N], weights_sum [N]).
+    """
+    n = rays_o.shape[0]
+    if aabb is None:
+        aabb = jnp.array(opts.aabb, jnp.float32)
+    jitter = None
+    if perturb and key is not None:
+        jitter = jax.random.uniform(key, (n,))
+    marched = march_rays(
+        rays_o, rays_d, bitfield,
+        bound=opts.bound, cascades=opts.cascades, dt_gamma=opts.dt_gamma,
+        max_steps=opts.max_steps, budget=n * opts.budget_per_ray,
+        num_candidates=opts.num_candidates, perturb=jitter,
+        min_near=opts.min_near, aabb=aabb,
+    )
+    sigma, rgb = field.apply(params, cfg, marched.xyzs, marched.dirs)
+    sigma = jnp.where(marched.valid, sigma * opts.density_scale, 0.0)
+    out = composite_flat(sigma, rgb, marched.deltas, marched.ts,
+                         marched.ray_id, marched.offsets, marched.valid, n)
+    bg = _background(field, params, cfg, opts, rays_o, rays_d, bg_color)
+    image = out["image"] + (1.0 - out["weights_sum"])[:, None] * bg
+    return {"image": image, "depth": out["depth"],
+            "weights_sum": out["weights_sum"], "num_samples": marched.valid.sum()}
+
+
+def sample_pdf(key, bins, weights, n_samples, deterministic=False):
+    """Inverse-CDF sampling of intervals (reference sample_pdf,
+    nerf/renderer.py:12-58).
+
+    Args:
+      bins: [N, K+1] interval edges; weights: [N, K]; n_samples: static int.
+    Returns:
+      [N, n_samples] sampled positions.
+    """
+    n, k = weights.shape
+    weights = weights + 1e-5
+    pdf = weights / weights.sum(-1, keepdims=True)
+    cdf = jnp.concatenate([jnp.zeros((n, 1)), jnp.cumsum(pdf, -1)], -1)  # [N, K+1]
+    if deterministic:
+        u = jnp.linspace(0.0 + 0.5 / n_samples, 1.0 - 0.5 / n_samples, n_samples)
+        u = jnp.broadcast_to(u, (n, n_samples))
+    else:
+        u = jax.random.uniform(key, (n, n_samples))
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u) - 1
+    idx = jnp.clip(idx, 0, k - 1)
+    cdf_lo = jnp.take_along_axis(cdf, idx, 1)
+    cdf_hi = jnp.take_along_axis(cdf, idx + 1, 1)
+    bins_lo = jnp.take_along_axis(bins, idx, 1)
+    bins_hi = jnp.take_along_axis(bins, idx + 1, 1)
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-5, 1.0, cdf_hi - cdf_lo)
+    t = (u - cdf_lo) / denom
+    return bins_lo + t * (bins_hi - bins_lo)
+
+
+def render_rays_dense(params, field, cfg, rays_o, rays_d, opts: RenderOptions,
+                      key=None, bg_color=1.0, aabb=None, perturb: bool = False):
+    """Dense stratified + importance-sampled path (the oracle renderer)."""
+    n = rays_o.shape[0]
+    if aabb is None:
+        aabb = jnp.array(opts.aabb, jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, opts.min_near)
+    nears = jnp.minimum(nears, 100.0)  # keep missed rays finite
+    fars = jnp.minimum(fars, 100.1)
+    k = opts.num_steps
+    z = jnp.linspace(0.0, 1.0, k)
+    z = nears[:, None] + (fars - nears)[:, None] * z[None, :]
+    sample_dist = (fars - nears) / k
+    if perturb and key is not None:
+        key, sub = jax.random.split(key)
+        z = z + (jax.random.uniform(sub, z.shape) - 0.5) * sample_dist[:, None]
+
+    def query_sigma(zv):
+        xyz = rays_o[:, None] + zv[..., None] * rays_d[:, None]
+        xyz = jnp.clip(xyz, -opts.bound, opts.bound)
+        out = field.density(params, cfg, xyz.reshape(-1, 3))
+        return out["sigma"].reshape(zv.shape) * opts.density_scale
+
+    if opts.upsample_steps > 0:
+        sigma_c = query_sigma(z)
+        deltas = jnp.diff(z, axis=-1)
+        deltas = jnp.concatenate([deltas, sample_dist[:, None]], -1)
+        comp = composite_dense(jax.lax.stop_gradient(sigma_c),
+                               jnp.zeros((*z.shape, 3)), deltas, z)
+        w = jax.lax.stop_gradient(comp["weights"])  # [N, K]
+        mid = 0.5 * (z[:, 1:] + z[:, :-1])  # [N, K-1]
+        if key is not None:
+            key, sub = jax.random.split(key)
+        else:
+            sub = jax.random.PRNGKey(0)
+        new_z = sample_pdf(sub, mid, w[:, 1:-1], opts.upsample_steps,
+                           deterministic=not perturb)
+        z = jnp.sort(jnp.concatenate([z, new_z], -1), axis=-1)
+
+    xyz = rays_o[:, None] + z[..., None] * rays_d[:, None]
+    xyz = jnp.clip(xyz, -opts.bound, opts.bound)
+    dirs = jnp.broadcast_to(rays_d[:, None], xyz.shape)
+    sigma, rgb = field.apply(params, cfg, xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+    sigma = sigma.reshape(z.shape) * opts.density_scale
+    rgb = rgb.reshape(*z.shape, 3)
+    deltas = jnp.diff(z, axis=-1)
+    deltas = jnp.concatenate([deltas, sample_dist[:, None]], -1)
+    out = composite_dense(sigma, rgb, deltas, z)
+    bg = _background(field, params, cfg, opts, rays_o, rays_d, bg_color)
+    image = out["image"] + (1.0 - out["weights_sum"])[:, None] * bg
+    return {"image": image, "depth": out["depth"], "weights_sum": out["weights_sum"]}

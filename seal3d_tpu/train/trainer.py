@@ -1,0 +1,303 @@
+"""Trainer: functional train state + thin host loop.
+
+Equivalent of the reference `Trainer` (nerf/utils.py:280-1137) redesigned the
+JAX way: params/opt/EMA/occupancy live in one `TrainState` pytree; ONE jitted
+`train_step(state, key) -> state, metrics` does ray sampling, gt gathering,
+occupancy marching, rendering, loss, backward, optimizer and EMA update —
+all on device with static shapes. Occupancy maintenance (`update_extra_state`,
+reference nerf/renderer.py:444-538) is a second jitted transition called every
+`update_grid_interval` steps. AMP is bf16 compute inside the field; EMA is a
+tree-level exponential average (replaces torch_ema); the LR schedule matches
+the reference's LambdaLR 0.1 ** (step / max_steps) (main_nerf.py:133).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field as dfield
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seal3d_tpu.data.rays import get_full_rays, get_rays
+from seal3d_tpu.parallel.mesh import shard_rays
+from seal3d_tpu.render.occupancy import (OccupancyState, mark_untrained,
+                                         occupancy_init, occupancy_update)
+from seal3d_tpu.render.renderer import RenderOptions, render_rays, render_rays_dense
+from seal3d_tpu.train.metrics import PSNRMeter
+from seal3d_tpu.train import checkpoint as ckpt_io
+
+
+@dataclass
+class TrainConfig:
+    lr: float = 1e-2
+    max_steps: int = 30000          # reference lego recipe: 30k iters (readme.md:91)
+    num_rays: int = 4096
+    ema_decay: float = 0.95
+    update_grid_interval: int = 16
+    full_grid_updates: int = 16     # first N grid updates re-query every cell
+    density_thresh: float = 0.01
+    eval_chunk: int = 8192
+    eval_budget_per_ray: int = 192
+    random_bg: bool = True
+    error_map: bool = False
+    max_keep_ckpt: int = 2
+    workspace: Optional[str] = None
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    occ: OccupancyState
+    step: jnp.ndarray
+    error_map: Any = None  # [B, 128*128] or None
+
+
+class Trainer:
+    """Host-side orchestration: owns jitted transitions + eval/test loops."""
+
+    def __init__(self, field_mod, field_cfg, opts: RenderOptions,
+                 cfg: TrainConfig, dataset=None, key=None, mesh=None,
+                 use_dense: bool = False, name: str = "ngp"):
+        self.field = field_mod
+        self.fcfg = field_cfg
+        self.opts = opts
+        self.cfg = cfg
+        self.mesh = mesh
+        self.name = name
+        self.use_dense = use_dense
+        key = key if key is not None else jax.random.PRNGKey(42)
+        self.init_key, self.loop_key = jax.random.split(key)
+        self.dataset = None
+        self._images = None
+        self._poses = None
+        self.state = None
+        self.history = []
+        if dataset is not None:
+            self.attach_dataset(dataset)
+
+        lr_schedule = lambda step: cfg.lr * (0.1 ** jnp.minimum(step / cfg.max_steps, 1.0))
+        self.optimizer = optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+            optax.scale_by_schedule(lambda s: -lr_schedule(s)),
+        )
+        self._build_steps()
+
+    # ------------------------------------------------------------------ setup
+
+    def attach_dataset(self, dataset):
+        self.dataset = dataset
+        self._poses = jnp.asarray(dataset.poses)
+        self._intrinsics = jnp.asarray(dataset.intrinsics)
+        if dataset.images is not None:
+            self._images = jnp.asarray(dataset.images)  # [B,H,W,C] uint8 on device
+        self._depths = jnp.asarray(dataset.depths) if dataset.depths is not None else None
+
+    def init_state(self) -> TrainState:
+        params = self.field.init(self.init_key, self.fcfg)
+        opt_state = self.optimizer.init(params)
+        occ = occupancy_init(self.opts.cascades)
+        emap = None
+        if self.cfg.error_map and self.dataset is not None:
+            emap = jnp.full((len(self.dataset), 128 * 128), 0.1, jnp.float32)
+        # EMA starts as a *copy* — identical buffers would be donated twice.
+        ema0 = jax.tree.map(jnp.copy, params)
+        state = TrainState(params=params, opt_state=opt_state, ema_params=ema0,
+                           occ=occ, step=jnp.zeros((), jnp.int32), error_map=emap)
+        if self.dataset is not None and not self.use_dense:
+            state = state._replace(
+                occ=mark_untrained(state.occ, self._poses, self._intrinsics,
+                                   self.opts.bound))
+        self.state = state
+        return state
+
+    # ------------------------------------------------------- jitted transitions
+
+    def _build_steps(self):
+        field, fcfg, opts, cfg = self.field, self.fcfg, self.opts, self.cfg
+
+        def loss_fn(params, bitfield, batch, key):
+            if self.use_dense:
+                out = render_rays_dense(params, field, fcfg, batch["rays_o"],
+                                        batch["rays_d"], opts, key=key,
+                                        bg_color=batch["bg"], perturb=True)
+            else:
+                out = render_rays(params, field, fcfg, bitfield, batch["rays_o"],
+                                  batch["rays_d"], opts, key=key,
+                                  bg_color=batch["bg"], perturb=True)
+            pred = out["image"]
+            per_ray = ((pred - batch["gt"]) ** 2).mean(-1)
+            loss = per_ray.mean()
+            return loss, (per_ray, out)
+
+        def sample_batch(state, key):
+            kimg, kray, kbg, kjit = jax.random.split(key, 4)
+            img_idx = jax.random.randint(kimg, (), 0, self._poses.shape[0])
+            pose = self._poses[img_idx]
+            h, w = self.dataset.h, self.dataset.w
+            emap = state.error_map[img_idx] if state.error_map is not None else None
+            rays = get_rays(kray, pose, self._intrinsics, h, w, cfg.num_rays,
+                            error_map=emap)
+            img = self._images[img_idx].reshape(h * w, -1).astype(jnp.float32) / 255.0
+            gt = jnp.take(img, rays["inds"], axis=0)
+            if cfg.random_bg:
+                bg = jax.random.uniform(kbg, (cfg.num_rays, 3))
+            else:
+                bg = jnp.ones((cfg.num_rays, 3))
+            if gt.shape[-1] == 4:
+                gt = gt[:, :3] * gt[:, 3:] + bg * (1.0 - gt[:, 3:])
+            batch = {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
+                     "gt": gt, "bg": bg}
+            batch = shard_rays(batch, self.mesh)
+            return batch, rays["inds"], img_idx, kjit
+
+        def train_step(state: TrainState, key):
+            batch, inds, img_idx, kjit = sample_batch(state, key)
+            (loss, (per_ray, out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.occ.bitfield, batch, kjit)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = jax.tree.map(
+                lambda e, p: e * cfg.ema_decay + p * (1.0 - cfg.ema_decay),
+                state.ema_params, params)
+            emap = state.error_map
+            if emap is not None:
+                # EMA error refresh at the sampled coarse cells
+                # (reference nerf/utils.py:507-528).
+                h, w = self.dataset.h, self.dataset.w
+                row = inds // w
+                col = inds % w
+                cell = (row * 128 // h) * 128 + (col * 128 // w)
+                cur = emap[img_idx]
+                new = cur.at[cell].set(cur[cell] * 0.9 + 0.1 * per_ray)
+                emap = emap.at[img_idx].set(new)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   ema_params=ema, occ=state.occ,
+                                   step=state.step + 1, error_map=emap)
+            metrics = {"loss": loss,
+                       "num_samples": out.get("num_samples", jnp.zeros(()))}
+            return new_state, metrics
+
+        def update_grid(state: TrainState, key, full: bool):
+            def density_fn(x):
+                return self.field.density(state.params, fcfg, x)["sigma"] * opts.density_scale
+
+            occ = occupancy_update(state.occ, density_fn, key, opts.bound,
+                                   density_thresh=cfg.density_thresh, full=full)
+            return state._replace(occ=occ)
+
+        donate = dict(donate_argnums=(0,))
+        self._train_step = jax.jit(train_step, **donate)
+        self._update_grid_full = jax.jit(partial(update_grid, full=True), **donate)
+        self._update_grid_partial = jax.jit(partial(update_grid, full=False), **donate)
+
+        def render_eval(params, bitfield, rays_o, rays_d, bg, key):
+            eval_opts = RenderOptions(
+                bound=opts.bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
+                budget_per_ray=cfg.eval_budget_per_ray,
+                num_candidates=opts.num_candidates, num_steps=opts.num_steps,
+                upsample_steps=opts.upsample_steps, min_near=opts.min_near,
+                density_scale=opts.density_scale, bg_radius=opts.bg_radius)
+            if self.use_dense:
+                return render_rays_dense(params, field, fcfg, rays_o, rays_d,
+                                         eval_opts, key=key, bg_color=bg)
+            return render_rays(params, field, fcfg, bitfield, rays_o, rays_d,
+                               eval_opts, key=key, bg_color=bg)
+
+        self._render_eval = jax.jit(render_eval)
+
+    # -------------------------------------------------------------- main loops
+
+    def train(self, steps: Optional[int] = None, log_every: int = 500,
+              silent: bool = False):
+        """Run the training loop for `steps` (default cfg.max_steps)."""
+        if self.state is None:
+            self.init_state()
+        steps = steps if steps is not None else self.cfg.max_steps
+        t0 = time.time()
+        last_metrics = {}
+        for i in range(steps):
+            step_i = int(self.state.step)
+            self.loop_key, k1, k2 = jax.random.split(self.loop_key, 3)
+            if not self.use_dense and step_i % self.cfg.update_grid_interval == 0:
+                full = self.state.occ.iter_density < self.cfg.full_grid_updates
+                fn = self._update_grid_full if bool(full) else self._update_grid_partial
+                self.state = fn(self.state, k1)
+            self.state, metrics = self._train_step(self.state, k2)
+            if i % log_every == 0 or i == steps - 1:
+                metrics = jax.device_get(metrics)
+                last_metrics = metrics
+                if not silent:
+                    dt = time.time() - t0
+                    print(f"[train] step={step_i} loss={metrics['loss']:.5f} "
+                          f"samples={int(metrics['num_samples'])} "
+                          f"({(i + 1) / dt:.1f} it/s)")
+        return last_metrics
+
+    def render_image(self, pose, h: int, w: int, bg_color: float = 1.0,
+                     use_ema: bool = True, chunk: Optional[int] = None):
+        """Full-image render (staged chunks — reference render() staged path,
+        nerf/renderer.py:554-565)."""
+        chunk = chunk or self.cfg.eval_chunk
+        params = self.state.ema_params if use_ema else self.state.params
+        rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
+        n = h * w
+        imgs, deps = [], []
+        bg = jnp.full((chunk, 3), bg_color, jnp.float32)
+        for i in range(0, n, chunk):
+            ro = rays["rays_o"][i : i + chunk]
+            rd = rays["rays_d"][i : i + chunk]
+            if ro.shape[0] < chunk:  # pad final chunk to keep shapes static
+                pad = chunk - ro.shape[0]
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            out = self._render_eval(params, self.state.occ.bitfield, ro, rd, bg,
+                                    jax.random.PRNGKey(0))
+            imgs.append(out["image"][: min(chunk, n - i)])
+            deps.append(out["depth"][: min(chunk, n - i)])
+        return (jnp.concatenate(imgs).reshape(h, w, 3),
+                jnp.concatenate(deps).reshape(h, w))
+
+    def evaluate(self, dataset=None, max_views: Optional[int] = None,
+                 bg_color: float = 1.0) -> float:
+        """Mean PSNR over a dataset's views (reference evaluate_one_epoch,
+        nerf/utils.py:905-1013)."""
+        ds = dataset or self.dataset
+        meter = PSNRMeter()
+        n = len(ds) if max_views is None else min(max_views, len(ds))
+        for vi in range(n):
+            img, _ = self.render_image(ds.poses[vi], ds.h, ds.w, bg_color=bg_color)
+            gt = np.asarray(ds.images[vi], np.float32) / 255.0
+            if gt.shape[-1] == 4:
+                gt = gt[..., :3] * gt[..., 3:] + bg_color * (1 - gt[..., 3:])
+            meter.update(np.asarray(img), gt)
+        return meter.measure()
+
+    # ------------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, path: Optional[str] = None, full: bool = True):
+        assert self.cfg.workspace or path
+        if path is None:
+            os.makedirs(os.path.join(self.cfg.workspace, "checkpoints"), exist_ok=True)
+            path = os.path.join(self.cfg.workspace, "checkpoints",
+                                f"{self.name}_step{int(self.state.step):07d}.npz")
+        ckpt_io.save_state(path, self.state, full=full)
+        if self.cfg.workspace:
+            ckpt_io.prune_checkpoints(
+                os.path.join(self.cfg.workspace, "checkpoints"),
+                self.name, keep=self.cfg.max_keep_ckpt)
+        return path
+
+    def load_checkpoint(self, path: str):
+        if self.state is None:
+            self.init_state()
+        self.state = ckpt_io.load_state(path, self.state)
+        return self.state
