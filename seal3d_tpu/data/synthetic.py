@@ -81,14 +81,30 @@ class SyntheticScene:
         image = out["image"] + (1.0 - out["weights_sum"])[:, None] * bg
         return image, out["depth"]
 
-    def render_view(self, pose, intrinsics, h: int, w: int, chunk: int = 8192):
+    def _jitted_render(self):
+        # cache the jitted renderer on the instance (object.__setattr__
+        # because the dataclass is frozen) so repeated views don't recompile
+        fn = getattr(self, "_render_fn", None)
+        if fn is None:
+            fn = jax.jit(self.render_rays)
+            object.__setattr__(self, "_render_fn", fn)
+        return fn
+
+    def render_view(self, pose, intrinsics, h: int, w: int, chunk: int = 16384):
         rays = get_full_rays(jnp.asarray(pose), jnp.asarray(intrinsics), h, w)
         imgs, deps = [], []
-        render = jax.jit(self.render_rays)
-        for i in range(0, h * w, chunk):
-            img, dep = render(rays["rays_o"][i : i + chunk], rays["rays_d"][i : i + chunk])
-            imgs.append(img)
-            deps.append(dep)
+        render = self._jitted_render()
+        n = h * w
+        for i in range(0, n, chunk):
+            ro = rays["rays_o"][i : i + chunk]
+            rd = rays["rays_d"][i : i + chunk]
+            if ro.shape[0] < chunk:  # pad so every chunk shares one compile
+                pad = chunk - ro.shape[0]
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            img, dep = render(ro, rd)
+            imgs.append(img[: min(chunk, n - i)])
+            deps.append(dep[: min(chunk, n - i)])
         return (jnp.concatenate(imgs).reshape(h, w, 3),
                 jnp.concatenate(deps).reshape(h, w))
 

@@ -64,7 +64,8 @@ def occupancy_update(
     density_thresh: float = 0.01,
     decay: float = 0.95,
     full: bool = True,
-    partial_cells: int = GRID_CELLS // 4,
+    partial_cells: int = GRID_CELLS // 8,
+    query_chunk: int = 2**17,
 ) -> OccupancyState:
     """One maintenance step.
 
@@ -72,9 +73,21 @@ def occupancy_update(
       density_fn: [M, 3] world positions -> [M] sigma (already density-scaled).
       full: python-static switch; callers use full for the first 16 updates
         (reference renderer.py:456-514).
+      query_chunk: field queries run through lax.map in chunks of this size to
+        bound peak memory (the hash-encode intermediates of all 2M cells at
+        once would need tens of GB; the reference similarly chunks at S^3,
+        renderer.py:469).
     """
     cascades = state.density_grid.shape[0]
     grid = state.density_grid
+
+    def query(xs):
+        n = xs.shape[0]
+        if n <= query_chunk:
+            return density_fn(xs)
+        assert n % query_chunk == 0, (n, query_chunk)
+        chunks = xs.reshape(n // query_chunk, query_chunk, 3)
+        return jax.lax.map(density_fn, chunks).reshape(n)
 
     if full:
         new_vals = jnp.zeros_like(grid)
@@ -83,7 +96,7 @@ def occupancy_update(
         for cas in range(cascades):
             key, sub = jax.random.split(key)
             xs = cell_world_positions(sub, codes, cas, bound)
-            new_vals = new_vals.at[cas].set(density_fn(xs))
+            new_vals = new_vals.at[cas].set(query(xs))
     else:
         # Static-size partial refresh: per cascade, `partial_cells` uniform
         # cells + `partial_cells` occupied-biased cells.
@@ -96,7 +109,7 @@ def occupancy_update(
             occ = jax.random.categorical(k2, occ_logits, shape=(partial_cells,)).astype(jnp.uint32)
             codes = jnp.concatenate([uni, occ])
             xs = cell_world_positions(k3, codes, cas, bound)
-            vals = density_fn(xs)
+            vals = query(xs)
             new_vals = new_vals.at[cas, codes].max(vals)
             written = written.at[cas, codes].set(True)
 

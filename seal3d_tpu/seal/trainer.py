@@ -1,0 +1,426 @@
+"""Seal student trainer: two-stage teacher->student distillation.
+
+Equivalent of reference SealNeRF/trainer.py (dynamic trainer composition
+:33-54 becomes plain subclassing of the functional Trainer):
+
+Stage 1 "local pretraining" (init_pretraining:88-263, pretrain_*:363-471):
+  dense grids of points are sampled in three shells (local = edit region,
+  surrounding = extended bounds minus edit region, global = whole aabb),
+  ground truth sigma/color is queried ONCE from the frozen teacher through
+  the proxy mapping, then the student is fitted with L1 on (sigma, color)
+  at high LR with its MLPs frozen (only hash tables move — freeze_mlp:472).
+
+Stage 2 "global finetuning": every training view is re-rendered by the
+  teacher once (`proxy_dataset`) and normal image training resumes with depth
+  supervision.
+
+Timing of both stages is recorded to workspace/timer.json
+(reference :314-357), along with seal.json / options.json run dumps (:291-297).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from seal3d_tpu.render.occupancy import occupancy_update
+from seal3d_tpu.render.renderer import RenderOptions, render_rays
+from seal3d_tpu.seal import geometry as geo
+from seal3d_tpu.seal.mappers import SealMapper, map_color, map_to_origin
+from seal3d_tpu.seal.provider import proxy_dataset
+from seal3d_tpu.seal.renderer import (cells_to_byte_masks, force_fill_cells,
+                                      hack_bitfield, make_teacher_field)
+from seal3d_tpu.train.trainer import Trainer, TrainConfig
+
+
+@dataclass
+class PretrainConfig:
+    epochs: int = 100
+    # Large batches matter: the reference effectively fits each shell in ONE
+    # 6.1M-point batch (main_SealNeRF.py:109); small batches + Adam's stale
+    # momentum on sparsely-touched hash entries destabilize the distill.
+    batch_size: int = 2**19
+    lr: float = 0.07
+    local_point_step: float = 0.005
+    local_angle_step: float = 45.0
+    surrounding_point_step: float = 0.01
+    surrounding_angle_step: float = 45.0
+    surrounding_bounds_extend: float = 0.2
+    global_point_step: float = 0.05
+    global_angle_step: float = 45.0
+    export_debug: bool = False
+    # L1 on log1p(sigma) instead of raw sigma (improvement over the reference's
+    # plain L1, SealNeRF/trainer.py:456-471: with sigma = exp(h) the raw-L1
+    # gradient dL/dh = sign(sigma-gt)*sigma vanishes exactly where density
+    # must be *raised* from empty space — the edit target region — making
+    # convergence asymmetric. Log-space L1 is symmetric in h and converges
+    # both directions. Set False for reference-parity behavior.
+    sigma_log_space: bool = True
+
+
+def sample_grid_points(bounds: np.ndarray, step: float, angle_step: float,
+                       max_points: int = 4_000_000):
+    """Regular grid over AABB(s) + euler-angle direction set
+    (reference sample_points, SealNeRF/trainer.py:609-645)."""
+    bounds = np.asarray(bounds, np.float32).reshape(-1, 2, 3)
+    pts = []
+    for lo, hi in bounds:
+        counts = np.maximum(((hi - lo) / step).astype(np.int64), 1)
+        # cap resolution to stay within budget
+        while np.prod(counts) > max_points:
+            counts = np.maximum(counts // 2, 1)
+        axes = [np.linspace(lo[d], hi[d], int(counts[d])) for d in range(3)]
+        g = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+        pts.append(g)
+    points = np.concatenate(pts).astype(np.float32)
+
+    angles = np.deg2rad(np.arange(0.0, 360.0, angle_step))
+    dirs = []
+    for a in angles:
+        for b in angles[: len(angles) // 2 + 1]:
+            dirs.append([np.cos(a) * np.sin(b), np.sin(a) * np.sin(b), np.cos(b)])
+    dirs = np.asarray(dirs, np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12
+    return points, dirs
+
+
+class SealTrainer(Trainer):
+    """Student trainer. The teacher is (field, params, bitfield) — frozen."""
+
+    def __init__(self, field_mod, field_cfg, opts: RenderOptions,
+                 cfg: TrainConfig, mapper: SealMapper,
+                 teacher_params, teacher_bitfield,
+                 dataset=None, key=None, mesh=None,
+                 secondary_field=None, secondary_cfg=None, secondary_params=None,
+                 name: str = "seal_student"):
+        super().__init__(field_mod, field_cfg, opts, cfg, dataset=dataset,
+                         key=key, mesh=mesh, name=name)
+        self.mapper = mapper
+        self.teacher_params = teacher_params
+        self.teacher_field = make_teacher_field(
+            field_mod, mapper, field_cfg, secondary_field, secondary_cfg,
+            secondary_params)
+        # Edit-region occupancy force-fill (precomputed host-side).
+        cells = force_fill_cells(mapper.force_fill_bound, opts.cascades, opts.bound)
+        byte_idx, masks = cells_to_byte_masks(cells)
+        self._hack_bytes = jnp.asarray(byte_idx)
+        self._hack_masks = jnp.asarray(masks)
+        self.teacher_bitfield = hack_bitfield(jnp.asarray(teacher_bitfield),
+                                              self._hack_bytes, self._hack_masks)
+        self.pretrain_data = {}
+        self.is_pretraining = False
+        self.time_inspector = {"pretraining": [], "training": []}
+        self._build_seal_steps()
+
+    # ------------------------------------------------------------ teacher side
+
+    def render_teacher_view(self, pose, h=None, w=None, chunk=8192,
+                            bg_color: float = 1.0):
+        """Render one full view through the (mapped) teacher."""
+        from seal3d_tpu.data.rays import get_full_rays
+
+        h = h or self.dataset.h
+        w = w or self.dataset.w
+        rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
+        imgs, deps = [], []
+        n = h * w
+        for i in range(0, n, chunk):
+            ro = rays["rays_o"][i : i + chunk]
+            rd = rays["rays_d"][i : i + chunk]
+            if ro.shape[0] < chunk:
+                pad = chunk - ro.shape[0]
+                ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+            out = self._render_teacher(self.teacher_params, self.teacher_bitfield,
+                                       ro, rd)
+            imgs.append(out["image"][: min(chunk, n - i)])
+            deps.append(out["depth"][: min(chunk, n - i)])
+        return (np.asarray(jnp.concatenate(imgs)).reshape(h, w, 3),
+                np.asarray(jnp.concatenate(deps)).reshape(h, w))
+
+    def proxy_datasets(self):
+        """Replace gt of the attached dataset with teacher renders
+        (reference train:275-281 -> provider.proxy_dataset)."""
+        t0 = time.time()
+        ds = proxy_dataset(self.dataset, lambda p: self.render_teacher_view(p))
+        self.attach_dataset(ds)
+        return time.time() - t0
+
+    # --------------------------------------------------------------- stage 1
+
+    def init_pretraining(self, pcfg: PretrainConfig):
+        """Sample the three point shells and cache teacher ground truth."""
+        self.pcfg = pcfg
+        opts = self.opts
+        aabb = np.array([[-opts.bound] * 3, [opts.bound] * 3], np.float32)
+        data = {}
+
+        qchunk = 2**16
+
+        def teacher_query(points, dirs):
+            outs_s, outs_c = [], []
+            n = points.shape[0]
+            for i in range(0, n, qchunk):
+                p = jnp.asarray(points[i : i + qchunk])
+                d = jnp.asarray(dirs[i : i + qchunk])
+                if p.shape[0] < qchunk:
+                    pad = qchunk - p.shape[0]
+                    p = jnp.pad(p, ((0, pad), (0, 0)))
+                    d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+                s, c = self._teacher_apply(self.teacher_params, p, d)
+                outs_s.append(np.asarray(s)[: min(qchunk, n - i)])
+                outs_c.append(np.asarray(c)[: min(qchunk, n - i)])
+            return np.concatenate(outs_s), np.concatenate(outs_c)
+
+        # ---- local: inside edit region, mapped back to source
+        if pcfg.local_point_step > 0:
+            pts, dir_set = sample_grid_points(self.mapper.force_fill_bound,
+                                              pcfg.local_point_step,
+                                              pcfg.local_angle_step)
+            probe = jnp.asarray(np.tile(np.array([[1.0, 0, 0]], np.float32),
+                                        (len(pts), 1)))
+            mpts, mdirs, mask = map_to_origin(self.mapper, jnp.asarray(pts), probe)
+            mask = np.asarray(mask)
+            if "map_source" in self.mapper.flags:
+                mask = np.ones_like(mask)
+            keep = np.where(mask)[0]
+            pts_k = pts[keep]
+            rng = np.random.default_rng(0)
+            dirs_k = dir_set[rng.integers(0, len(dir_set), len(keep))]
+            mpts_k = np.asarray(mpts)[keep]
+            mdirs_k = np.asarray(mdirs)[keep] if mdirs is not None else dirs_k
+            gt_sigma, gt_color = teacher_query(mpts_k, mdirs_k)
+            gt_color = np.asarray(map_color(self.mapper, jnp.asarray(mpts_k),
+                                            jnp.asarray(mdirs_k),
+                                            jnp.asarray(gt_color)))
+            data["local"] = dict(points=pts_k, dirs=dirs_k,
+                                 sigma=gt_sigma, color=gt_color)
+
+        # ---- surrounding: extended bounds minus edit region
+        if pcfg.surrounding_point_step > 0:
+            sb = np.array(self.mapper.force_fill_bound, np.float32).reshape(-1, 2, 3).copy()
+            sb[:, 0] = np.maximum(sb[:, 0] - pcfg.surrounding_bounds_extend, aabb[0])
+            sb[:, 1] = np.minimum(sb[:, 1] + pcfg.surrounding_bounds_extend, aabb[1])
+            data.update(self._outside_shell("surrounding", sb,
+                                            pcfg.surrounding_point_step,
+                                            pcfg.surrounding_angle_step,
+                                            teacher_query))
+
+        # ---- global: whole scene aabb minus edit region
+        if pcfg.global_point_step > 0:
+            data.update(self._outside_shell("global", aabb[None],
+                                            pcfg.global_point_step,
+                                            pcfg.global_angle_step,
+                                            teacher_query))
+
+        # pad every shell to a batch multiple and ship to device
+        bs = pcfg.batch_size
+        for k, v in data.items():
+            n = len(v["points"])
+            if n == 0:
+                continue
+            pad = (-n) % bs
+            idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+            wgt = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+            self.pretrain_data[k] = {
+                "points": jnp.asarray(v["points"][idx]),
+                "dirs": jnp.asarray(v["dirs"][idx]),
+                "sigma": jnp.asarray(v["sigma"][idx]),
+                "color": jnp.asarray(v["color"][idx]),
+                "weight": jnp.asarray(wgt),
+                "n_batches": (n + pad) // bs,
+            }
+        self.is_pretraining = True
+        self._build_pretrain_opt(pcfg.lr, pcfg.sigma_log_space)
+        self._pre_opt_state = self._pre_opt.init(self.state.params if self.state
+                                                 else self.init_state().params)
+        if pcfg.export_debug and self.cfg.workspace:
+            vis = os.path.join(self.cfg.workspace, "pretrain_vis")
+            os.makedirs(vis, exist_ok=True)
+            for k, v in data.items():
+                geo.export_ply_points(os.path.join(vis, f"{k}.ply"),
+                                      v["points"], v["color"])
+
+    def _outside_shell(self, name, bounds, step, angle_step, teacher_query):
+        pts, dir_set = sample_grid_points(bounds, step, angle_step)
+        probe = jnp.asarray(np.tile(np.array([[1.0, 0, 0]], np.float32),
+                                    (len(pts), 1)))
+        _, _, mask = map_to_origin(self.mapper, jnp.asarray(pts), probe)
+        keep = np.where(~np.asarray(mask))[0]
+        pts_k = pts[keep]
+        rng = np.random.default_rng(1)
+        dirs_k = dir_set[rng.integers(0, len(dir_set), len(keep))]
+        gt_sigma, gt_color = teacher_query(pts_k, dirs_k)
+        return {name: dict(points=pts_k, dirs=dirs_k, sigma=gt_sigma,
+                           color=gt_color)}
+
+    # ------------------------------------------------------- jitted seal steps
+
+    def _build_seal_steps(self):
+        field, fcfg, opts = self.field, self.fcfg, self.opts
+
+        teacher_opts = RenderOptions(
+            bound=opts.bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
+            budget_per_ray=self.cfg.eval_budget_per_ray,
+            num_candidates=opts.num_candidates, min_near=opts.min_near,
+            density_scale=opts.density_scale, bg_radius=opts.bg_radius)
+
+        def render_teacher(params, bitfield, rays_o, rays_d):
+            return render_rays(params, self.teacher_field, fcfg, bitfield,
+                               rays_o, rays_d, teacher_opts, bg_color=1.0)
+
+        self._render_teacher = jax.jit(render_teacher)
+
+        def teacher_apply(params, x, d):
+            return field.apply(params, fcfg, x, d)
+
+        self._teacher_apply = jax.jit(teacher_apply)
+
+    def _build_pretrain_opt(self, lr: float, sigma_log_space: bool = True):
+        """Pretrain optimizer: hash tables only, constant high LR
+        (freeze_mlp + set_lr, reference :472-505)."""
+        field, fcfg = self.field, self.fcfg
+
+        def label(params):
+            return {k: ("encoder" if k.startswith("encoder") else "frozen")
+                    for k in params}
+
+        self._pre_opt = optax.multi_transform(
+            {"encoder": optax.adam(learning_rate=lr, b1=0.9, b2=0.99, eps=1e-15),
+             "frozen": optax.set_to_zero()},
+            label)
+
+        def pretrain_step(params, pre_opt_state, ema, batch):
+            def loss_fn(p):
+                sigma, color = field.apply(p, fcfg, batch["points"], batch["dirs"])
+                w = batch["weight"]
+                if sigma_log_space:
+                    diff = jnp.abs(jnp.log1p(sigma) - jnp.log1p(batch["sigma"]))
+                else:
+                    diff = jnp.abs(sigma - batch["sigma"])
+                sl = (diff * w).sum() / w.sum()
+                cl = (jnp.abs(color - batch["color"]) * w[:, None]).sum() / (3 * w.sum())
+                return sl + cl
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, pre_opt_state = self._pre_opt.update(grads, pre_opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema = jax.tree.map(
+                lambda e, p: e * self.cfg.ema_decay + p * (1 - self.cfg.ema_decay),
+                ema, params)
+            return params, pre_opt_state, ema, loss
+
+        self._pretrain_step = jax.jit(pretrain_step, donate_argnums=(0, 1, 2))
+
+    # ----------------------------------------------------------- stage drivers
+
+    def pretrain_one_epoch(self, key=None):
+        """One pass over all cached shells (reference pretrain_one_epoch:363)."""
+        # student bitfield must include the (empty) edit region
+        self.state = self.state._replace(occ=self.state.occ._replace(
+            bitfield=hack_bitfield(self.state.occ.bitfield, self._hack_bytes,
+                                   self._hack_masks)))
+        bs = self.pcfg.batch_size
+        losses = []
+        params, ema = self.state.params, self.state.ema_params
+        for part, src in self.pretrain_data.items():
+            for b in range(src["n_batches"]):
+                batch = {k: src[k][b * bs : (b + 1) * bs]
+                         for k in ("points", "dirs", "sigma", "color", "weight")}
+                params, self._pre_opt_state, ema, loss = self._pretrain_step(
+                    params, self._pre_opt_state, ema, batch)
+                losses.append(loss)
+        self.state = self.state._replace(params=params, ema_params=ema)
+        return float(jnp.stack([jnp.asarray(l) for l in losses]).mean())
+
+    def update_grid_hacked(self, key, full=False):
+        """Occupancy refresh + re-hack (reference update_extra_state hook
+        SealNeRF/renderer.py:50-60)."""
+        fn = self._update_grid_full if full else self._update_grid_partial
+        self.state = fn(self.state, key)
+        self.state = self.state._replace(occ=self.state.occ._replace(
+            bitfield=hack_bitfield(self.state.occ.bitfield, self._hack_bytes,
+                                   self._hack_masks)))
+
+    def train_edit(self, pcfg: PretrainConfig, finetune_steps: int = 1500,
+                   pretrain_epochs: Optional[int] = None, proxy: bool = True,
+                   log: bool = True):
+        """Full two-stage edit pipeline; returns the timer dict
+        (reference train:266-357)."""
+        if self.state is None:
+            self.init_state()
+        # student starts from teacher weights (reference loads the same ckpt)
+        self.state = self.state._replace(
+            params=jax.tree.map(jnp.copy, self.teacher_params),
+            ema_params=jax.tree.map(jnp.copy, self.teacher_params))
+        self._dump_run_config(pcfg)
+
+        t0 = time.time()
+        self.init_pretraining(pcfg)
+        t_init = time.time() - t0
+
+        epochs = pcfg.epochs if pretrain_epochs is None else pretrain_epochs
+        for e in range(epochs):
+            t0 = time.time()
+            loss = self.pretrain_one_epoch()
+            self.time_inspector["pretraining"].append(time.time() - t0)
+            if log and (e % 10 == 0 or e == epochs - 1):
+                print(f"[pretrain] epoch {e} loss={loss:.5f}")
+        self.is_pretraining = False
+
+        t_proxy = 0.0
+        if proxy and finetune_steps > 0:
+            t_proxy = self.proxy_datasets()
+
+        if finetune_steps > 0:
+            # fresh optimizer state for stage 2 (unfreeze + restore lr)
+            self.state = self.state._replace(
+                opt_state=self.optimizer.init(self.state.params))
+            t0 = time.time()
+            # occupancy refresh keeps the hack applied
+            self.update_grid_hacked(jax.random.PRNGKey(7), full=True)
+            self.train(steps=finetune_steps, silent=not log, blocked=True)
+            self.time_inspector["training"].append(time.time() - t0)
+
+        timer = {
+            "pretraining": self.time_inspector["pretraining"],
+            "pretraining_avg": float(np.mean(self.time_inspector["pretraining"]))
+            if self.time_inspector["pretraining"] else 0.0,
+            "pretraining_total": float(np.sum(self.time_inspector["pretraining"])),
+            "training": self.time_inspector["training"],
+            "training_avg": float(np.mean(self.time_inspector["training"]))
+            if self.time_inspector["training"] else 0.0,
+            "training_total": float(np.sum(self.time_inspector["training"])),
+            "proxy_dataset": t_proxy,
+            "pretrain_init": t_init,
+        }
+        if self.cfg.workspace:
+            os.makedirs(self.cfg.workspace, exist_ok=True)
+            with open(os.path.join(self.cfg.workspace, "timer.json"), "w") as f:
+                json.dump(timer, f, indent=1)
+        return timer
+
+    def _dump_run_config(self, pcfg: PretrainConfig):
+        """Reproducibility dump (reference :291-297: seal.json, options.json,
+        run.sh)."""
+        if not self.cfg.workspace:
+            return
+        import sys
+
+        os.makedirs(self.cfg.workspace, exist_ok=True)
+        with open(os.path.join(self.cfg.workspace, "seal.json"), "w") as f:
+            json.dump(self.mapper.config, f, indent=1, default=str)
+        with open(os.path.join(self.cfg.workspace, "options.json"), "w") as f:
+            json.dump({"opts": asdict(self.opts), "train": asdict(self.cfg),
+                       "pretrain": asdict(pcfg)}, f, indent=1, default=str)
+        with open(os.path.join(self.cfg.workspace, "run.sh"), "w") as f:
+            f.write("python " + " ".join(sys.argv) + "\n")

@@ -78,6 +78,7 @@ class Trainer:
         self.dataset = None
         self._images = None
         self._poses = None
+        self._depths = None
         self.state = None
         self.history = []
         if dataset is not None:
@@ -134,6 +135,10 @@ class Trainer:
                                   bg_color=batch["bg"], perturb=True)
             pred = out["image"]
             per_ray = ((pred - batch["gt"]) ** 2).mean(-1)
+            if "gt_depth" in batch:
+                # depth supervision from teacher-proxied datasets
+                # (reference nerf/utils.py:486-489)
+                per_ray = per_ray + (out["depth"] - batch["gt_depth"]) ** 2
             loss = per_ray.mean()
             return loss, (per_ray, out)
 
@@ -155,6 +160,9 @@ class Trainer:
                 gt = gt[:, :3] * gt[:, 3:] + bg * (1.0 - gt[:, 3:])
             batch = {"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
                      "gt": gt, "bg": bg}
+            if self._depths is not None:
+                dep = self._depths[img_idx].reshape(-1)
+                batch["gt_depth"] = jnp.take(dep, rays["inds"], axis=0)
             batch = shard_rays(batch, self.mesh)
             return batch, rays["inds"], img_idx, kjit
 
@@ -194,8 +202,24 @@ class Trainer:
                                    density_thresh=cfg.density_thresh, full=full)
             return state._replace(occ=occ)
 
+        def train_block(state: TrainState, key, n_steps: int):
+            """`n_steps` train steps fused into one XLA program via lax.scan —
+            amortizes host dispatch (critical on TPU; the reference instead
+            pays a kernel-launch + loss.item() sync per step,
+            nerf/utils.py:842-864)."""
+
+            def body(st, k):
+                st, m = train_step(st, k)
+                return st, m["loss"]
+
+            keys = jax.random.split(key, n_steps)
+            state, losses = jax.lax.scan(body, state, keys)
+            return state, {"loss": losses[-1], "loss_mean": losses.mean(),
+                           "num_samples": jnp.zeros(())}
+
         donate = dict(donate_argnums=(0,))
         self._train_step = jax.jit(train_step, **donate)
+        self._train_block = jax.jit(train_block, static_argnums=(2,), **donate)
         self._update_grid_full = jax.jit(partial(update_grid, full=True), **donate)
         self._update_grid_partial = jax.jit(partial(update_grid, full=False), **donate)
 
@@ -217,29 +241,44 @@ class Trainer:
     # -------------------------------------------------------------- main loops
 
     def train(self, steps: Optional[int] = None, log_every: int = 500,
-              silent: bool = False):
-        """Run the training loop for `steps` (default cfg.max_steps)."""
+              silent: bool = False, blocked: bool = False):
+        """Run the training loop for `steps` (default cfg.max_steps).
+
+        blocked=True fuses each grid-update interval's worth of steps into one
+        scanned XLA call (the production/TPU mode); blocked=False runs step-
+        at-a-time (interactive/GUI mode).
+        """
         if self.state is None:
             self.init_state()
         steps = steps if steps is not None else self.cfg.max_steps
         t0 = time.time()
         last_metrics = {}
-        for i in range(steps):
+        i = 0
+        while i < steps:
             step_i = int(self.state.step)
             self.loop_key, k1, k2 = jax.random.split(self.loop_key, 3)
             if not self.use_dense and step_i % self.cfg.update_grid_interval == 0:
                 full = self.state.occ.iter_density < self.cfg.full_grid_updates
                 fn = self._update_grid_full if bool(full) else self._update_grid_partial
                 self.state = fn(self.state, k1)
-            self.state, metrics = self._train_step(self.state, k2)
-            if i % log_every == 0 or i == steps - 1:
+            if blocked:
+                n = min(self.cfg.update_grid_interval, steps - i)
+                if self.use_dense:
+                    n = min(steps - i, 64)
+                self.state, metrics = self._train_block(self.state, k2, n)
+                i += n
+            else:
+                self.state, metrics = self._train_step(self.state, k2)
+                i += 1
+            if (i - 1) % log_every < (1 if not blocked else self.cfg.update_grid_interval) \
+                    or i >= steps:
                 metrics = jax.device_get(metrics)
                 last_metrics = metrics
                 if not silent:
                     dt = time.time() - t0
                     print(f"[train] step={step_i} loss={metrics['loss']:.5f} "
                           f"samples={int(metrics['num_samples'])} "
-                          f"({(i + 1) / dt:.1f} it/s)")
+                          f"({i / dt:.1f} it/s)")
         return last_metrics
 
     def render_image(self, pose, h: int, w: int, bg_color: float = 1.0,
