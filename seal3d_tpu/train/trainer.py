@@ -65,7 +65,8 @@ class Trainer:
 
     def __init__(self, field_mod, field_cfg, opts: RenderOptions,
                  cfg: TrainConfig, dataset=None, key=None, mesh=None,
-                 use_dense: bool = False, name: str = "ngp"):
+                 use_dense: bool = False, name: str = "ngp", reg_fn=None,
+                 optimizer=None):
         self.field = field_mod
         self.fcfg = field_cfg
         self.opts = opts
@@ -73,6 +74,9 @@ class Trainer:
         self.mesh = mesh
         self.name = name
         self.use_dense = use_dense
+        # optional params-regularizer, e.g. TensoRF L1 density sparsity
+        # (reference tensoRF/utils.py:42-49)
+        self.reg_fn = reg_fn
         key = key if key is not None else jax.random.PRNGKey(42)
         self.init_key, self.loop_key = jax.random.split(key)
         self.dataset = None
@@ -85,7 +89,7 @@ class Trainer:
             self.attach_dataset(dataset)
 
         lr_schedule = lambda step: cfg.lr * (0.1 ** jnp.minimum(step / cfg.max_steps, 1.0))
-        self.optimizer = optax.chain(
+        self.optimizer = optimizer or optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
             optax.scale_by_schedule(lambda s: -lr_schedule(s)),
         )
@@ -140,6 +144,8 @@ class Trainer:
                 # (reference nerf/utils.py:486-489)
                 per_ray = per_ray + (out["depth"] - batch["gt_depth"]) ** 2
             loss = per_ray.mean()
+            if self.reg_fn is not None:
+                loss = loss + self.reg_fn(params)
             return loss, (per_ray, out)
 
         def sample_batch(state, key):
