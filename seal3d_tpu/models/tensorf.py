@@ -96,13 +96,18 @@ def init(key: jax.Array, cfg: TensoRFConfig, resolution=None):
 
 # ------------------------------------------------------- interpolation cores
 
-def sample_plane(plane: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample of [R, H, W] at coords in [-1, 1] (align_corners=True,
-    zero outside). cx indexes W, cy indexes H. Returns [R, N]."""
+def sample_plane(plane: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray,
+                 align_corners: bool = True) -> jnp.ndarray:
+    """Bilinear sample of [R, H, W] at coords in [-1, 1] (zero outside).
+    cx indexes W, cy indexes H. Returns [R, N]."""
     r, h, w = plane.shape
     inside = (jnp.abs(cx) <= 1.0) & (jnp.abs(cy) <= 1.0)
-    x = (jnp.clip(cx, -1, 1) + 1.0) * 0.5 * (w - 1)
-    y = (jnp.clip(cy, -1, 1) + 1.0) * 0.5 * (h - 1)
+    if align_corners:
+        x = (jnp.clip(cx, -1, 1) + 1.0) * 0.5 * (w - 1)
+        y = (jnp.clip(cy, -1, 1) + 1.0) * 0.5 * (h - 1)
+    else:
+        x = jnp.clip((cx + 1.0) * 0.5 * w - 0.5, 0.0, w - 1.0)
+        y = jnp.clip((cy + 1.0) * 0.5 * h - 0.5, 0.0, h - 1.0)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
     fx = x - x0
@@ -118,11 +123,15 @@ def sample_plane(plane: jnp.ndarray, cx: jnp.ndarray, cy: jnp.ndarray) -> jnp.nd
     return out * inside[None, :]
 
 
-def sample_line(line: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+def sample_line(line: jnp.ndarray, c: jnp.ndarray,
+                align_corners: bool = True) -> jnp.ndarray:
     """Linear sample of [R, D] at coords in [-1, 1]. Returns [R, N]."""
     r, d = line.shape
     inside = jnp.abs(c) <= 1.0
-    x = (jnp.clip(c, -1, 1) + 1.0) * 0.5 * (d - 1)
+    if align_corners:
+        x = (jnp.clip(c, -1, 1) + 1.0) * 0.5 * (d - 1)
+    else:
+        x = jnp.clip((c + 1.0) * 0.5 * d - 0.5, 0.0, d - 1.0)
     x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, d - 2)
     fx = x - x0
     v0 = jnp.take(line, x0, axis=1)

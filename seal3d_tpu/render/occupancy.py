@@ -129,6 +129,10 @@ def occupancy_update(
     )
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("bound", "chunk"))
 def mark_untrained(state: OccupancyState, poses: jnp.ndarray,
                    intrinsics: jnp.ndarray, bound: float,
                    chunk: int = GRID_CELLS // 8) -> OccupancyState:
@@ -172,9 +176,8 @@ def mark_untrained(state: OccupancyState, poses: jnp.ndarray,
             ok_y = jnp.abs(cam[..., 1] / jnp.maximum(z, eps)) < half_h
             return (in_front & ok_x & ok_y).any(axis=1)
 
-        vis = jnp.concatenate(
-            [visible_any(world[i : i + chunk]) for i in range(0, GRID_CELLS, chunk)]
-        )
+        vis = jax.lax.map(visible_any,
+                          world.reshape(GRID_CELLS // chunk, chunk, 3)).reshape(-1)
         grid = grid.at[cas].set(jnp.where(vis, grid[cas], -1.0))
 
     return state._replace(density_grid=grid)

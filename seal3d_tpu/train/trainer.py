@@ -125,10 +125,10 @@ class Trainer:
 
     # ------------------------------------------------------- jitted transitions
 
-    def _build_steps(self):
+    def _build_steps(self, loss_override=None):
         field, fcfg, opts, cfg = self.field, self.fcfg, self.opts, self.cfg
 
-        def loss_fn(params, bitfield, batch, key):
+        def default_loss_fn(params, bitfield, batch, key):
             if self.use_dense:
                 out = render_rays_dense(params, field, fcfg, batch["rays_o"],
                                         batch["rays_d"], opts, key=key,
@@ -147,6 +147,8 @@ class Trainer:
             if self.reg_fn is not None:
                 loss = loss + self.reg_fn(params)
             return loss, (per_ray, out)
+
+        loss_fn = loss_override or default_loss_fn
 
         def sample_batch(state, key):
             kimg, kray, kbg, kjit = jax.random.split(key, 4)
