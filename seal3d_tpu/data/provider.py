@@ -86,6 +86,7 @@ class NeRFDataset:
     radius: float = 1.0
     error_map: Optional[np.ndarray] = None
     depths: Optional[np.ndarray] = None  # teacher-proxied depth (Seal)
+    times: Optional[np.ndarray] = None   # [B] in [0,1] for dynamic scenes (D-NeRF)
 
     @classmethod
     def load(cls, root_path: str, split: str = "train", downscale: int = 1,
@@ -126,8 +127,10 @@ class NeRFDataset:
         h = int(meta.get("h", 0)) // downscale
         w = int(meta.get("w", 0)) // downscale
 
-        poses, images = [], []
+        poses, images, times = [], [], []
         for fr in frames:
+            # D-NeRF transforms carry per-frame time (reference dnerf/provider.py)
+            times.append(float(fr.get("time", len(times) / max(len(frames) - 1, 1))))
             pose = nerf_matrix_to_ngp(np.array(fr["transform_matrix"], np.float32),
                                       scale=scale, offset=offset)
             img_path = os.path.join(root_path, fr["file_path"])
@@ -170,7 +173,9 @@ class NeRFDataset:
             error_map = np.full((len(frames), 128 * 128), 0.1, np.float32)
         return cls(poses=poses, images=imgs,
                    intrinsics=np.array([fx, fy, cx, cy], np.float32),
-                   h=h, w=w, radius=radius, error_map=error_map)
+                   h=h, w=w, radius=radius, error_map=error_map,
+                   times=np.asarray(times, np.float32) if any(
+                       "time" in fr for fr in frames) else None)
 
     def __len__(self):
         return self.poses.shape[0]

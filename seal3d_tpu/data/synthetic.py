@@ -121,3 +121,66 @@ class SyntheticScene:
             images.append(np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8))
         return NeRFDataset(poses=poses.astype(np.float32), images=np.stack(images),
                            intrinsics=intr, h=h, w=w, radius=radius)
+
+
+@dataclass(frozen=True)
+class DynamicSyntheticScene(SyntheticScene):
+    """Time-varying variant: one blob orbits the center over t in [0,1]
+    (ground truth for D-NeRF tests/benchmarks)."""
+
+    orbit_radius: float = 0.4
+
+    def density_t(self, x: jnp.ndarray, t) -> jnp.ndarray:
+        k = 60.0
+        ang = 2.0 * jnp.pi * jnp.asarray(t)
+        c = jnp.stack([self.orbit_radius * jnp.cos(ang),
+                       jnp.zeros_like(ang) + 0.1,
+                       self.orbit_radius * jnp.sin(ang)], -1)
+        d = jnp.linalg.norm(x - c, axis=-1) - 0.22
+        moving = jax.nn.sigmoid(-k * d)
+        q = jnp.abs(x - jnp.array([0.0, -0.35, 0.0])) - jnp.array([0.45, 0.08, 0.45])
+        dbox = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) + jnp.minimum(q.max(-1), 0.0)
+        static = jax.nn.sigmoid(-k * dbox)
+        return self.density_scale * jnp.clip(moving + static, 0.0, 1.0)
+
+    def render_rays_t(self, rays_o, rays_d, t, num_steps: int = 256, bg: float = 1.0):
+        near = jnp.full(rays_o.shape[:-1], 0.05)
+        far = jnp.full(rays_o.shape[:-1], 2.0 * self.bound + 2.0)
+        z = near[..., None] + (far - near)[..., None] * jnp.linspace(0.0, 1.0, num_steps)
+        xyz = rays_o[:, None] + z[..., None] * rays_d[:, None]
+        inside = (jnp.abs(xyz) <= self.bound).all(-1)
+        sigma = jnp.where(inside, self.density_t(xyz, t), 0.0)
+        rgb = self.color(xyz, jnp.broadcast_to(rays_d[:, None], xyz.shape))
+        deltas = jnp.diff(z, axis=-1)
+        deltas = jnp.concatenate([deltas, deltas[..., -1:]], -1)
+        out = composite_dense(sigma, rgb, deltas, z)
+        return out["image"] + (1.0 - out["weights_sum"])[:, None] * bg, out["depth"]
+
+    def make_dataset(self, n_views: int = 24, h: int = 128, w: int = 128,
+                     radius: float = 2.2, seed: int = 0,
+                     fov_deg: float = 50.0) -> NeRFDataset:
+        rng = np.random.default_rng(seed)
+        poses = rand_poses(rng, n_views, radius=radius, theta_range=(30, 120))
+        fx = fy = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
+        intr = np.array([fx, fy, w / 2.0, h / 2.0], np.float32)
+        times = np.linspace(0.0, 1.0, n_views).astype(np.float32)
+        render = jax.jit(self.render_rays_t)
+        images = []
+        for p, t in zip(poses, times):
+            rays = get_full_rays(jnp.asarray(p), jnp.asarray(intr), h, w)
+            imgs = []
+            chunk = 16384
+            n = h * w
+            for i in range(0, n, chunk):
+                ro = rays["rays_o"][i : i + chunk]
+                rd = rays["rays_d"][i : i + chunk]
+                if ro.shape[0] < chunk:
+                    pad = chunk - ro.shape[0]
+                    ro = jnp.pad(ro, ((0, pad), (0, 0)))
+                    rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
+                img, _ = render(ro, rd, jnp.asarray(t))
+                imgs.append(img[: min(chunk, n - i)])
+            img = jnp.concatenate(imgs).reshape(h, w, 3)
+            images.append(np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8))
+        return NeRFDataset(poses=poses.astype(np.float32), images=np.stack(images),
+                           intrinsics=intr, h=h, w=w, radius=radius, times=times)

@@ -1,0 +1,180 @@
+"""D-NeRF backbone: dynamic (time-conditioned) NeRF, three variants.
+
+Capability parity with reference dnerf/network.py (deformation),
+network_basis.py (temporal basis), network_hyper.py (hyper ambient dim):
+
+- 'deform': freq(x, deg 10) + freq(t, deg 6) -> 5x128 MLP -> dx; the warped
+  x + dx feeds a tiled-grid NGP field. Returns the deformation for its
+  regularizer.
+- 'basis': a 5x128 time MLP emits sigma/color basis weights; sigma is a dot
+  of per-point sigma features with the sigma basis, color a basis-weighted
+  sum of color chunks.
+- 'hyper': a 5x128 time MLP emits `ambient_dim` extra coordinates appended
+  to xyz before a 4D hash grid.
+
+All expose apply(params, cfg, x, d, t) / density(params, cfg, x, t); the
+time-agnostic field API used by the shared renderer is obtained via
+`with_time(t)`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+
+from seal3d_tpu.models.mlp import mlp_apply, mlp_init
+from seal3d_tpu.ops.freq import freq_encode, freq_encode_dim
+from seal3d_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, hashgrid_init
+from seal3d_tpu.ops.sh import sh_encode, sh_encode_dim
+from seal3d_tpu.ops.trunc_exp import trunc_exp
+
+
+@dataclass(frozen=True)
+class DNeRFConfig:
+    bound: float = 1.0
+    variant: str = "deform"  # 'deform' | 'basis' | 'hyper'
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    sh_degree: int = 4
+    log2_hashmap_size: int = 19
+    gridtype: str = "tiled"           # reference default encoding="tiledgrid"
+    # deform / basis / hyper nets all share this size (reference: 5x128)
+    num_layers_time: int = 5
+    hidden_dim_time: int = 128
+    deform_multires: int = 10
+    time_multires: int = 6
+    sigma_basis_dim: int = 32
+    color_basis_dim: int = 8
+    ambient_dim: int = 1
+
+    @cached_property
+    def grid(self) -> HashGridConfig:
+        in_dim = 3 + (self.ambient_dim if self.variant == "hyper" else 0)
+        return HashGridConfig(
+            num_levels=16, level_dim=2, base_resolution=16,
+            log2_hashmap_size=self.log2_hashmap_size,
+            desired_resolution=int(2048 * self.bound),
+            gridtype=self.gridtype, input_dim=in_dim)
+
+    @cached_property
+    def time_enc_dim(self) -> int:
+        return freq_encode_dim(1, self.time_multires)
+
+
+def init(key: jax.Array, cfg: DNeRFConfig):
+    ks = iter(jax.random.split(key, 8))
+    sh_dim = sh_encode_dim(cfg.sh_degree)
+    grid_dim = cfg.grid.output_dim
+
+    params = {"encoder": hashgrid_init(next(ks), cfg.grid)}
+    if cfg.variant == "deform":
+        deform_in = freq_encode_dim(3, cfg.deform_multires) + cfg.time_enc_dim
+        params["deform_net"] = mlp_init(
+            next(ks), [deform_in] + [cfg.hidden_dim_time] * (cfg.num_layers_time - 1) + [3])
+        sigma_out = 1 + cfg.geo_feat_dim
+    elif cfg.variant == "basis":
+        params["basis_net"] = mlp_init(
+            next(ks), [cfg.time_enc_dim] + [cfg.hidden_dim_time] * (cfg.num_layers_time - 1)
+            + [cfg.sigma_basis_dim + cfg.color_basis_dim])
+        sigma_out = cfg.sigma_basis_dim + cfg.geo_feat_dim
+    elif cfg.variant == "hyper":
+        params["ambient_net"] = mlp_init(
+            next(ks), [cfg.time_enc_dim] + [cfg.hidden_dim_time] * (cfg.num_layers_time - 1)
+            + [cfg.ambient_dim])
+        sigma_out = 1 + cfg.geo_feat_dim
+    else:
+        raise ValueError(cfg.variant)
+
+    params["sigma_net"] = mlp_init(
+        next(ks), [grid_dim] + [cfg.hidden_dim] * (cfg.num_layers - 1) + [sigma_out])
+    color_out = 3 * cfg.color_basis_dim if cfg.variant == "basis" else 3
+    params["color_net"] = mlp_init(
+        next(ks), [sh_dim + cfg.geo_feat_dim] + [cfg.hidden_dim_color] * (cfg.num_layers_color - 1)
+        + [color_out])
+    return params
+
+
+def _norm(x, bound):
+    return (x + bound) / (2.0 * bound)
+
+
+def _time_feat(cfg, t, n):
+    tcol = jnp.broadcast_to(jnp.reshape(t, (-1, 1)), (n, 1))
+    return freq_encode(tcol, cfg.time_multires)
+
+
+def deformation(params, cfg: DNeRFConfig, x, t):
+    """dx for the deform variant (exposed for the deformation regularizer)."""
+    h = jnp.concatenate([freq_encode(x, cfg.deform_multires),
+                         _time_feat(cfg, t, x.shape[0])], -1)
+    return mlp_apply(params["deform_net"], h)
+
+
+def density(params, cfg: DNeRFConfig, x, t):
+    n = x.shape[0]
+    if cfg.variant == "deform":
+        x = x + deformation(params, cfg, x, t)
+        feat = hashgrid_encode(params["encoder"], _norm(x, cfg.bound), cfg.grid)
+        h = mlp_apply(params["sigma_net"], feat)
+        return {"sigma": trunc_exp(h[:, 0]), "geo_feat": h[:, 1:], "warped_x": x}
+    if cfg.variant == "basis":
+        basis = mlp_apply(params["basis_net"], _time_feat(cfg, t, n))
+        sb = basis[:, : cfg.sigma_basis_dim]
+        cb = basis[:, cfg.sigma_basis_dim :]
+        feat = hashgrid_encode(params["encoder"], _norm(x, cfg.bound), cfg.grid)
+        h = mlp_apply(params["sigma_net"], feat)
+        sigma = trunc_exp((h[:, : cfg.sigma_basis_dim] * sb).sum(-1))
+        return {"sigma": sigma, "geo_feat": h[:, cfg.sigma_basis_dim :],
+                "color_basis": cb}
+    # hyper
+    amb = jnp.tanh(mlp_apply(params["ambient_net"], _time_feat(cfg, t, n)))
+    x4 = jnp.concatenate([_norm(x, cfg.bound), (amb + 1.0) * 0.5], -1)
+    feat = hashgrid_encode(params["encoder"], x4, cfg.grid)
+    h = mlp_apply(params["sigma_net"], feat)
+    return {"sigma": trunc_exp(h[:, 0]), "geo_feat": h[:, 1:]}
+
+
+def apply(params, cfg: DNeRFConfig, x, d, t):
+    out = density(params, cfg, x, t)
+    d_enc = sh_encode(d, cfg.sh_degree)
+    h = mlp_apply(params["color_net"],
+                  jnp.concatenate([d_enc, out["geo_feat"]], -1))
+    if cfg.variant == "basis":
+        cb = out["color_basis"]  # [N, CB]
+        h = h.reshape(-1, 3, cfg.color_basis_dim)
+        h = (h * cb[:, None, :]).sum(-1)
+    rgb = jax.nn.sigmoid(h)
+    return out["sigma"], rgb, out.get("warped_x")
+
+
+def with_time(t):
+    """Adapter exposing the shared time-less field API at a fixed (traced)
+    time — the functional replacement for the reference's time plumbing."""
+
+    class TimedField:
+        @staticmethod
+        def apply(params, cfg, x, d):
+            sigma, rgb, _ = apply(params, cfg, x, d, t)
+            return sigma, rgb
+
+        @staticmethod
+        def density(params, cfg, x):
+            out = density(params, cfg, x, t)
+            return {"sigma": out["sigma"], "geo_feat": out["geo_feat"]}
+
+        @staticmethod
+        def color(params, cfg, x, d, geo_feat):
+            d_enc = sh_encode(d, cfg.sh_degree)
+            h = mlp_apply(params["color_net"],
+                          jnp.concatenate([d_enc, geo_feat], -1))
+            if cfg.variant == "basis":
+                raise NotImplementedError("basis color needs time basis")
+            return jax.nn.sigmoid(h)
+
+    return TimedField

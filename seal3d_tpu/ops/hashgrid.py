@@ -108,9 +108,17 @@ def _corner_indices(pos0: jnp.ndarray, resolution: int, use_hash: bool,
         for d in range(1, dim):
             h = h ^ c[..., d] * jnp.uint32(_PRIMES[d])
         return (h & jnp.uint32(params_in_level - 1)).astype(jnp.int32)
-    stride = jnp.array([resolution**d for d in range(dim)], dtype=jnp.int32)
-    idx = (pos0.astype(jnp.int32) * stride).sum(-1)
-    return jnp.minimum(idx, params_in_level - 1)
+    # Tiled (dense) indexing; when the dense level exceeds the table the index
+    # wraps modulo table size (reference GridTypeTiled semantics) — strides are
+    # computed in uint32 with natural wraparound.
+    if resolution**dim <= params_in_level:
+        stride = jnp.array([resolution**d for d in range(dim)], dtype=jnp.int32)
+        idx = (pos0.astype(jnp.int32) * stride).sum(-1)
+        return jnp.minimum(idx, params_in_level - 1)
+    stride = jnp.array([(resolution**d) & 0xFFFFFFFF for d in range(dim)],
+                       dtype=jnp.uint32)
+    idx = (pos0.astype(jnp.uint32) * stride).sum(-1)
+    return (idx % jnp.uint32(params_in_level)).astype(jnp.int32)
 
 
 def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:

@@ -56,6 +56,18 @@ def cell_world_positions(key: jax.Array, codes: jnp.ndarray, cascade: int,
     return (unit * 2.0 - 1.0) * b
 
 
+def _sample_occupied(key, occ_mask: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Sample n cell indices ~ uniform over occupied cells via inverse-CDF
+    (cumsum + searchsorted — O(cells), unlike jax.random.categorical which
+    materializes [n, cells] Gumbel noise)."""
+    w = occ_mask.astype(jnp.float32)
+    cdf = jnp.cumsum(w)
+    total = jnp.maximum(cdf[-1], 1.0)
+    u = jax.random.uniform(key, (n,)) * total
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, occ_mask.shape[0] - 1)
+    return idx.astype(jnp.uint32)
+
+
 def occupancy_update(
     state: OccupancyState,
     density_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -105,8 +117,7 @@ def occupancy_update(
         for cas in range(cascades):
             key, k1, k2, k3 = jax.random.split(key, 4)
             uni = jax.random.randint(k1, (partial_cells,), 0, GRID_CELLS).astype(jnp.uint32)
-            occ_logits = jnp.where(grid[cas] > 0.0, 0.0, -1e9)
-            occ = jax.random.categorical(k2, occ_logits, shape=(partial_cells,)).astype(jnp.uint32)
+            occ = _sample_occupied(k2, grid[cas] > 0.0, partial_cells)
             codes = jnp.concatenate([uni, occ])
             xs = cell_world_positions(k3, codes, cas, bound)
             vals = query(xs)
@@ -181,3 +192,73 @@ def mark_untrained(state: OccupancyState, poses: jnp.ndarray,
         grid = grid.at[cas].set(jnp.where(vis, grid[cas], -1.0))
 
     return state._replace(density_grid=grid)
+
+
+# ----------------------------------------------------- time-sliced (D-NeRF)
+
+class OccupancyStateT(NamedTuple):
+    """Time-axis occupancy for dynamic scenes (reference dnerf/renderer.py:92-105:
+    density_grid [T, CAS, H^3], per-time bitfields)."""
+
+    density_grid: jnp.ndarray   # [T, C, H^3]
+    bitfield: jnp.ndarray       # [T, C * H^3 / 8]
+    mean_density: jnp.ndarray
+    iter_density: jnp.ndarray
+
+
+def occupancy_t_init(time_size: int, cascades: int) -> OccupancyStateT:
+    return OccupancyStateT(
+        density_grid=jnp.zeros((time_size, cascades, GRID_CELLS), jnp.float32),
+        bitfield=jnp.zeros((time_size, cascades * GRID_CELLS // 8), jnp.uint8),
+        mean_density=jnp.zeros((), jnp.float32),
+        iter_density=jnp.zeros((), jnp.int32),
+    )
+
+
+def occupancy_t_update(state: OccupancyStateT, density_fn, key: jax.Array,
+                       bound: float, t_indices: jnp.ndarray,
+                       density_thresh: float = 0.01, decay: float = 0.95,
+                       cells_per_slice: int = GRID_CELLS // 8,
+                       query_chunk: int = 2**17) -> OccupancyStateT:
+    """Refresh `t_indices` time slices (uniform + occupied-biased cells, time
+    jittered within the slice — reference dnerf/renderer.py:454-541).
+
+    density_fn: (x [M,3], t [M]) -> sigma [M].
+    """
+    time_size, cascades, _ = state.density_grid.shape
+    grid = state.density_grid
+    n_t = t_indices.shape[0]
+
+    def refresh_slice(carry, ti):
+        grid, key = carry
+        for cas in range(cascades):
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            uni = jax.random.randint(k1, (cells_per_slice,), 0, GRID_CELLS).astype(jnp.uint32)
+            occ = _sample_occupied(k2, grid[ti, cas] > 0.0, cells_per_slice)
+            codes = jnp.concatenate([uni, occ])
+            xs = cell_world_positions(k3, codes, cas, bound)
+            tval = (ti.astype(jnp.float32) + 0.5) / time_size
+            tj = tval + (jax.random.uniform(k4, (codes.shape[0],)) - 0.5) / time_size
+            m = xs.shape[0]
+            if m > query_chunk:
+                chunks = (xs.reshape(m // query_chunk, query_chunk, 3),
+                          tj.reshape(m // query_chunk, query_chunk))
+                vals = jax.lax.map(lambda a: density_fn(a[0], a[1]), chunks).reshape(m)
+            else:
+                vals = density_fn(xs, tj)
+            cur = grid[ti, cas]
+            new = jnp.zeros_like(cur).at[codes].max(vals)
+            written = jnp.zeros_like(cur, dtype=bool).at[codes].set(True)
+            trained = cur >= 0.0
+            upd = jnp.where(written & trained, jnp.maximum(cur * decay, new), cur)
+            grid = grid.at[ti, cas].set(upd)
+        return (grid, key), None
+
+    (grid, key), _ = jax.lax.scan(refresh_slice, (grid, key), t_indices)
+    trained = grid >= 0.0
+    mean_density = jnp.where(trained, grid, 0.0).sum() / jnp.maximum(trained.sum(), 1)
+    thresh = jnp.minimum(mean_density, density_thresh)
+    bitfield = jax.vmap(lambda g: packbits(g, thresh))(grid)
+    return OccupancyStateT(density_grid=grid, bitfield=bitfield,
+                           mean_density=mean_density,
+                           iter_density=state.iter_density + 1)
