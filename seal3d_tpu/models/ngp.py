@@ -37,15 +37,21 @@ class NGPConfig:
     sh_degree: int = 4
     log2_hashmap_size: int = 19
     bg_radius: float = -1.0  # >0 enables the background net
+    num_levels: int = 16
+    level_dim: int = 2
+    # 'pallas' = blocked one-hot MXU lookups (TPU-native; use log2T <= 16),
+    # 'xla' = jnp.take gathers (any size; reference-parity table layout).
+    grid_backend: str = "xla"
 
     @cached_property
     def grid(self) -> HashGridConfig:
         return HashGridConfig(
-            num_levels=16,
-            level_dim=2,
+            num_levels=self.num_levels,
+            level_dim=self.level_dim,
             base_resolution=16,
             log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound),
+            backend=self.grid_backend,
         )
 
     @cached_property

@@ -54,6 +54,12 @@ class HashGridConfig:
     align_corners: bool = False
     interpolation: str = "linear"  # 'linear' | 'smoothstep'
     input_dim: int = 3  # 2 for the background sphere encoder
+    # 'xla' gathers via jnp.take (any table size); 'pallas' routes lookups
+    # through the blocked one-hot MXU kernel (ops/pallas/lookup.py) — every
+    # level is padded to the full 2^log2_hashmap_size so the level stack is
+    # one [L, F, R, 128] VMEM-resident array. TPU-native configs should use
+    # 'pallas' with log2_hashmap_size <= 16.
+    backend: str = "xla"
 
     @cached_property
     def per_level_scale(self) -> float:
@@ -75,8 +81,12 @@ class HashGridConfig:
             resolution = int(math.ceil(scale)) + 1
             dense_size = resolution**self.input_dim
             # Align each level's block to 8 entries (matches reference layout
-            # logic in gridencoder/grid.py).
-            params_in_level = min(((dense_size + 7) // 8) * 8, hashmap_size)
+            # logic in gridencoder/grid.py). The pallas backend pads every
+            # level to the full table so levels stack uniformly.
+            if self.backend == "pallas":
+                params_in_level = hashmap_size
+            else:
+                params_in_level = min(((dense_size + 7) // 8) * 8, hashmap_size)
             use_hash = self.gridtype == "hash" and dense_size > hashmap_size
             out.append((resolution, offset, params_in_level, use_hash))
             offset += params_in_level
@@ -138,6 +148,18 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, dim).astype(jnp.float32)
     m = xf.shape[0]
+
+    if cfg.backend == "pallas" and dim == 3 and not cfg.align_corners:
+        # fully-fused kernel: index math + interpolation + lookup in VMEM
+        from seal3d_tpu.ops.pallas.hash_encode import hash_encode_fused
+
+        t = 2**cfg.log2_hashmap_size
+        rows = max(t // 128, 1)
+        stack = table.reshape(cfg.num_levels, rows, 128, cfg.level_dim)
+        stack = stack.transpose(0, 3, 1, 2)  # [L, F, R, 128]
+        out = hash_encode_fused(stack, xf, cfg)
+        return out.reshape(*batch_shape, cfg.output_dim)
+
     corners = jnp.asarray(_corner_offsets(dim), dtype=jnp.int32)  # [2^dim, dim]
     n_corners = 2**dim
 
@@ -167,10 +189,28 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
 
     idx = jnp.stack(all_idx, axis=1)  # [M, L, 2^dim]
     w = jnp.stack(all_w, axis=1)  # [M, L, 2^dim]
-    feats = jnp.take(table, idx.reshape(m, -1), axis=0).reshape(
-        m, cfg.num_levels, n_corners, cfg.level_dim
-    )
-    out = (feats * w[..., None]).sum(axis=2)  # [M, L, F]
+    if cfg.backend == "pallas":
+        from seal3d_tpu.ops.pallas.lookup import multilevel_lookup
+
+        t = 2**cfg.log2_hashmap_size
+        assert t % (128 * 128) == 0 or t <= 128 * 128, t
+        rows = max(t // 128, 1)
+        # flat [L*T, F] -> [L, F, R, 128]; level-local indices (drop offsets)
+        stack = table.reshape(cfg.num_levels, rows, 128, cfg.level_dim)
+        stack = stack.transpose(0, 3, 1, 2)
+        offsets = jnp.asarray([off for _, off, _, _ in cfg.level_params],
+                              jnp.int32)
+        idx_local = (idx - offsets[None, :, None]).transpose(1, 0, 2).reshape(
+            cfg.num_levels, m * n_corners)
+        vals = multilevel_lookup(stack, idx_local)  # [L, M*2^dim, F]
+        feats = vals.reshape(cfg.num_levels, m, n_corners, cfg.level_dim)
+        out = (feats * w.transpose(1, 0, 2)[..., None]).sum(axis=2)  # [L, M, F]
+        out = out.transpose(1, 0, 2)
+    else:
+        feats = jnp.take(table, idx.reshape(m, -1), axis=0).reshape(
+            m, cfg.num_levels, n_corners, cfg.level_dim
+        )
+        out = (feats * w[..., None]).sum(axis=2)  # [M, L, F]
     return out.reshape(*batch_shape, cfg.output_dim)
 
 

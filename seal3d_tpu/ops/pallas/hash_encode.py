@@ -1,0 +1,268 @@
+"""Fully-fused multiresolution hash-grid encode kernel.
+
+Equivalent of the reference gridencoder CUDA kernels
+(gridencoder/src/gridencoder.cu:87-366) but built around the blocked one-hot
+MXU lookup (see ops/pallas/lookup.py for the why): for every level and cell
+corner, the kernel computes the grid/hash index from the raw position,
+routes the lookup through `onehot(hi) @ table_chunk` on the MXU, masks the
+lane with onehot(lo), and accumulates the trilinear-weighted feature — all in
+VMEM. The XLA-side per-level index/weight materialization (which cost more
+than the lookups themselves) disappears.
+
+The level loop is a fori_loop with per-level constants (scale/resolution/
+hash-vs-tiled) streamed from SMEM so the compiled program stays small; the
+8-corner loop is unrolled. Backward recomputes indices/weights and
+accumulates grad tables with the transposed matmul across the sequential
+grid (atomic-free; the reference needs __half2 atomics,
+gridencoder.cu:322-328).
+
+Constraints: all levels share one table size T = R*128 (backend='pallas'
+pads levels), T <= 2^16 keeps the level stack VMEM-resident; input grads
+(dL/dx) are not propagated (positions are not trainable — matches the
+reference default, dy_dx off, gridencoder/grid.py:27).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_PRIMES = (1, 2654435761, 805459861)
+_CORNERS = tuple((i & 1, (i >> 1) & 1, (i >> 2) & 1) for i in range(8))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _level_const_arrays(cfg):
+    scales, resolutions, use_hash = [], [], []
+    for resolution, _off, _n, uh in cfg.level_params:
+        scales.append(float(resolution - 1))
+        resolutions.append(resolution)
+        use_hash.append(1 if uh else 0)
+    return (np.asarray(scales, np.float32), np.asarray(resolutions, np.int32),
+            np.asarray(use_hash, np.int32))
+
+
+def _corner_setup(xs, scale, resolution, smoothstep):
+    """xs: 3 x [ps,128] in [0,1]; traced scale/resolution scalars."""
+    res_m1 = (resolution - 1).astype(jnp.float32)
+    pos = [jnp.clip(x * scale + 0.5, 0.0, res_m1) for x in xs]
+    pos0 = [jnp.floor(p) for p in pos]
+    frac = [p - q for p, q in zip(pos, pos0)]
+    if smoothstep:
+        frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+    return [p.astype(jnp.int32) for p in pos0], frac
+
+
+def _corner_idx_w(pos0, frac, corner, resolution, use_hash, t_size):
+    """One corner's (idx [ps,128] int32, weight [ps,128] f32)."""
+    res_m1 = resolution - 1
+    cpos = [jnp.minimum(pos0[d] + corner[d], res_m1) for d in range(3)]
+    h = cpos[0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+    h = h ^ (cpos[1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+    h = h ^ (cpos[2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+    idx_hash = (h & jnp.uint32(t_size - 1)).astype(jnp.int32)
+    idx_tiled = jnp.minimum(
+        cpos[0] + cpos[1] * resolution + cpos[2] * resolution * resolution,
+        t_size - 1)
+    idx = jnp.where(use_hash > 0, idx_hash, idx_tiled)
+    w = jnp.ones_like(frac[0])
+    for d in range(3):
+        w = w * jnp.where(corner[d] == 1, frac[d], 1.0 - frac[d])
+    return idx, w
+
+
+def _make_fwd_kernel(levels, f_dim, rows, smoothstep):
+    t_size = rows * LANES
+    ck = min(rows, LANES)
+    n_chunks = rows // ck
+    dn = (((2,), (0,)), ((), ()))
+
+    def kernel(scale_ref, res_ref, hash_ref, x_ref, tab_ref, out_ref):
+        ps = x_ref.shape[2]
+        xs = [x_ref[0, d] for d in range(3)]
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+
+        def level_body(l, _):
+            scale = scale_ref[l]
+            resolution = res_ref[l]
+            use_hash = hash_ref[l]
+            pos0, frac = _corner_setup(xs, scale, resolution, smoothstep)
+            accs = []
+            for f in range(f_dim):
+                accs.append(jnp.zeros((ps, LANES), jnp.float32))
+            for corner in _CORNERS:
+                idx, w = _corner_idx_w(pos0, frac, corner, resolution,
+                                       use_hash, t_size)
+                hi = idx >> 7
+                lo = idx & 127
+                b3 = lo[:, :, None] == lane3
+                a3s = [(hi[:, :, None] == lane3[:, :, :ck] + k * ck
+                        ).astype(jnp.bfloat16) for k in range(n_chunks)]
+                for f in range(f_dim):
+                    rowsum = jnp.zeros((ps, LANES, LANES), jnp.float32)
+                    for k in range(n_chunks):
+                        chunk = tab_ref[l, f, pl.ds(k * ck, ck), :].astype(
+                            jnp.bfloat16)
+                        rowsum = rowsum + jax.lax.dot_general(
+                            a3s[k], chunk, dn,
+                            preferred_element_type=jnp.float32)
+                    val = jnp.where(b3, rowsum, 0.0).sum(-1)
+                    accs[f] = accs[f] + w * val
+            for f in range(f_dim):
+                out_ref[0, l * f_dim + f] = accs[f]
+            return 0
+
+        jax.lax.fori_loop(0, levels, level_body, 0)
+
+    return kernel
+
+
+def _make_bwd_kernel(levels, f_dim, rows, smoothstep):
+    t_size = rows * LANES
+    ck = min(rows, LANES)
+    n_chunks = rows // ck
+
+    def kernel(scale_ref, res_ref, hash_ref, x_ref, g_ref, gtab_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            gtab_ref[:] = jnp.zeros_like(gtab_ref)
+
+        ps = x_ref.shape[2]
+        xs = [x_ref[0, d] for d in range(3)]
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+
+        def level_body(l, _):
+            scale = scale_ref[l]
+            resolution = res_ref[l]
+            use_hash = hash_ref[l]
+            pos0, frac = _corner_setup(xs, scale, resolution, smoothstep)
+            for corner in _CORNERS:
+                idx, w = _corner_idx_w(pos0, frac, corner, resolution,
+                                       use_hash, t_size)
+                hi = idx >> 7
+                lo = idx & 127
+                b3 = lo[:, :, None] == lane3
+                a3s = [(hi[:, :, None] == lane3[:, :, :ck] + k * ck
+                        ).astype(jnp.bfloat16).reshape(ps * LANES, ck)
+                       for k in range(n_chunks)]
+                for f in range(f_dim):
+                    gw = g_ref[0, l * f_dim + f] * w
+                    gb = jnp.where(b3, gw[:, :, None], 0.0).astype(
+                        jnp.bfloat16).reshape(ps * LANES, LANES)
+                    for k in range(n_chunks):
+                        upd = jnp.dot(a3s[k].T, gb,
+                                      preferred_element_type=jnp.float32)
+                        cur = gtab_ref[l, f, pl.ds(k * ck, ck), :]
+                        gtab_ref[l, f, pl.ds(k * ck, ck), :] = cur + upd
+            return 0
+
+        jax.lax.fori_loop(0, levels, level_body, 0)
+
+    return kernel
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def hash_encode_fused(tables, x, cfg, tile: int = 2048):
+    """Fused hash-grid encode.
+
+    Args:
+      tables: [L, F, R, 128] f32 level stack.
+      x: [M, 3] positions in [0, 1].
+      cfg: HashGridConfig with backend='pallas'.
+      tile: points per grid step.
+    Returns:
+      [M, L*F] features (level-major).
+    """
+    return _fused_fwd_impl(tables, x, cfg, tile)
+
+
+def _prep_x(x, tile):
+    m = x.shape[0]
+    pad = (-m) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    n_tiles = (m + pad) // tile
+    ps = tile // LANES
+    x4 = xp.reshape(n_tiles, ps, LANES, 3).transpose(0, 3, 1, 2)  # [NT,3,ps,128]
+    return x4, n_tiles, ps, pad
+
+
+def _const_specs(levels):
+    return [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+
+
+def _fused_fwd_impl(tables, x, cfg, tile):
+    levels, f_dim, rows, _ = tables.shape
+    m = x.shape[0]
+    x4, n_tiles, ps, pad = _prep_x(x, tile)
+    scales, resolutions, use_hash = _level_const_arrays(cfg)
+    kernel = _make_fwd_kernel(levels, f_dim, rows,
+                              cfg.interpolation == "smoothstep")
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_const_specs(levels) + [
+            pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels, f_dim, rows, LANES), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, levels * f_dim, ps, LANES),
+                               lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, levels * f_dim, ps, LANES),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(scales), jnp.asarray(resolutions), jnp.asarray(use_hash),
+      x4, tables)
+    out = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, levels * f_dim)
+    return out[:m]
+
+
+def _fused_fwd(tables, x, cfg, tile):
+    return _fused_fwd_impl(tables, x, cfg, tile), (tables, x)
+
+
+def _fused_bwd(cfg, tile, res, g):
+    tables, x = res
+    levels, f_dim, rows, _ = tables.shape
+    m = x.shape[0]
+    x4, n_tiles, ps, pad = _prep_x(x, tile)
+    g_p = jnp.pad(g, ((0, pad), (0, 0)))
+    g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
+    scales, resolutions, use_hash = _level_const_arrays(cfg)
+    kernel = _make_bwd_kernel(levels, f_dim, rows,
+                              cfg.interpolation == "smoothstep")
+    gtab = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_const_specs(levels) + [
+            pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, levels * f_dim, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((levels, f_dim, rows, LANES),
+                               lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, f_dim, rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(scales), jnp.asarray(resolutions), jnp.asarray(use_hash),
+      x4, g4)
+    return gtab, None
+
+
+hash_encode_fused.defvjp(_fused_fwd, _fused_bwd)

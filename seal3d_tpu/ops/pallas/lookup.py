@@ -1,0 +1,179 @@
+"""Blocked one-hot table lookup kernel — the TPU-native hash-grid gather.
+
+Why: the reference's gridencoder is a CUDA gather + atomicAdd scatter
+(gridencoder/src/gridencoder.cu:87-366). TPUs have no hardware gather: XLA
+lowers `jnp.take` to ~200M rows/s and scatter-add to ~25M rows/s (measured on
+v5e) — a 33M-lookup hash encode would cost ~1.5 s/step. This kernel instead
+reformulates lookup as MXU math, never materializing a full one-hot:
+
+  entry t lives at (row, lane) = (t >> 7, t & 127) of a [T/128, 128] table
+  fwd:  A = onehot(hi) [128,128] (bf16); rowsel = A @ tab_chunk (MXU);
+        out = (rowsel * onehot(lo)).sum(lanes)            (VPU)
+  bwd:  grad_tab_chunk += A^T @ (onehot(lo) * g) — the same matmul
+        transposed, accumulated in VMEM across the sequential TPU grid
+        (atomic-free; the reference needed __half2 atomics,
+        gridencoder.cu:322-328).
+
+Cost is pairs * T * F MACs — at T <= 2^14 per level this runs ~100x faster
+than XLA scatter and the whole multi-level table stack stays VMEM-resident.
+
+Layout: pair tiles are [PS, 128] (sublanes x lanes); each sublane row of 128
+pairs becomes one [128, 128] one-hot matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _interpret() -> bool:
+    # CPU tests run the kernel through the Pallas interpreter
+    return jax.default_backend() != "tpu"
+
+
+
+def _fwd_kernel(idx_ref, tab_ref, out_ref):
+    """Blocks: idx [1,1,PS,128], tab [1,F,R,128], out [1,1,F,PS,128]."""
+    _, f_dim, rows, _ = tab_ref.shape
+    ps = idx_ref.shape[2]
+    p = ps * LANES
+    ck = min(rows, LANES)  # chunk row count (K dim of the one-hot matmul)
+    n_chunks = rows // ck
+    idx = idx_ref[0, 0]  # [ps, 128]
+    hi = (idx >> 7).astype(jnp.int32)
+    lo = (idx & 127).astype(jnp.int32)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
+    b = (lo[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (ps, LANES, LANES), 2)).reshape(p, LANES)
+    a_chunks = [
+        (hi[:, :, None] == lane3 + k * ck).astype(jnp.bfloat16).reshape(p, ck)
+        for k in range(n_chunks)
+    ]
+    for f in range(f_dim):
+        rowsum = jnp.zeros((p, LANES), jnp.float32)
+        for k in range(n_chunks):
+            chunk = tab_ref[0, f, k * ck:(k + 1) * ck, :].astype(jnp.bfloat16)
+            rowsum = rowsum + jnp.dot(a_chunks[k], chunk,
+                                      preferred_element_type=jnp.float32)
+        out_ref[0, 0, f] = jnp.where(b, rowsum, 0.0).sum(-1).reshape(ps, LANES)
+
+
+def _bwd_kernel(idx_ref, g_ref, gtab_ref):
+    """Blocks: idx [1,1,PS,128], g [1,1,F,PS,128], gtab [1,F,R,128]; the gtab
+    block is revisited across a level's tiles — zeroed on the first, then
+    accumulated (sequential TPU grid makes this race-free)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        gtab_ref[:] = jnp.zeros_like(gtab_ref)
+
+    _, f_dim, rows, _ = gtab_ref.shape
+    ps = idx_ref.shape[2]
+    p = ps * LANES
+    ck = min(rows, LANES)
+    n_chunks = rows // ck
+    idx = idx_ref[0, 0]
+    hi = (idx >> 7).astype(jnp.int32)
+    lo = (idx & 127).astype(jnp.int32)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
+    b3 = lo[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (ps, LANES, LANES), 2)
+    a_chunks = [
+        (hi[:, :, None] == lane3 + k * ck).astype(jnp.bfloat16).reshape(p, ck)
+        for k in range(n_chunks)
+    ]
+    for f in range(f_dim):
+        # route each pair's grad to its lo lane: [ps,128,128] -> [p,128]
+        gb = jnp.where(b3, g_ref[0, 0, f][:, :, None], 0.0).astype(
+            jnp.bfloat16).reshape(p, LANES)
+        for k in range(n_chunks):
+            upd = jnp.dot(a_chunks[k].T, gb, preferred_element_type=jnp.float32)
+            sl = pl.ds(k * ck, ck)
+            gtab_ref[0, f, sl, :] = gtab_ref[0, f, sl, :] + upd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def multilevel_lookup(tables: jnp.ndarray, idx: jnp.ndarray, tile: int = 2048):
+    """Lookup idx[l, n] in per-level tables.
+
+    Args:
+      tables: [L, F, R, 128] f32 — level l's entry t at [l, :, t>>7, t&127].
+      idx: [L, N] int32 in [0, R*128).
+      tile: pairs per grid step (static, multiple of 128).
+    Returns:
+      [L, N, F] f32 values.
+    """
+    return _lookup_fwd_impl(tables, idx, tile)
+
+
+def _pad_idx(idx, tile):
+    levels, n = idx.shape
+    pad = (-n) % tile
+    idx_p = jnp.pad(idx, ((0, 0), (0, pad)))
+    n_tiles = (n + pad) // tile
+    ps = tile // LANES
+    return idx_p.reshape(levels, n_tiles, ps, LANES), n_tiles, ps, pad
+
+
+def _lookup_fwd_impl(tables, idx, tile):
+    levels, f_dim, rows, _ = tables.shape
+    n = idx.shape[1]
+    idx4, n_tiles, ps, pad = _pad_idx(idx, tile)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(levels, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, ps, LANES), lambda l, i: (l, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f_dim, rows, LANES), lambda l, i: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, f_dim, ps, LANES),
+                               lambda l, i: (l, i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, n_tiles, f_dim, ps, LANES),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(idx4, tables)
+    out = out.transpose(0, 1, 3, 4, 2).reshape(levels, n_tiles * tile, f_dim)
+    return out[:, :n]
+
+
+def _lookup_fwd(tables, idx, tile):
+    return _lookup_fwd_impl(tables, idx, tile), (tables, idx)
+
+
+def _lookup_bwd(tile, res, g):
+    tables, idx = res
+    levels, f_dim, rows, _ = tables.shape
+    n = idx.shape[1]
+    idx4, n_tiles, ps, pad = _pad_idx(idx, tile)
+    g_p = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))  # padded pairs: zero grad
+    g5 = g_p.reshape(levels, n_tiles, ps, LANES, f_dim).transpose(0, 1, 4, 2, 3)
+    gtab = pl.pallas_call(
+        _bwd_kernel,
+        grid=(levels, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, ps, LANES), lambda l, i: (l, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, f_dim, ps, LANES), lambda l, i: (l, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f_dim, rows, LANES),
+                               lambda l, i: (l, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, f_dim, rows, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(idx4, g5)
+    return gtab, None
+
+
+multilevel_lookup.defvjp(_lookup_fwd, _lookup_bwd)

@@ -197,6 +197,57 @@ def compact_samples(ts, dts, valid, rays_o, rays_d, budget: int) -> MarchedRays:
     )
 
 
+class MarchedGrid(NamedTuple):
+    """Per-ray fixed-K compacted samples (TPU fast path): [N, K] layout."""
+
+    xyzs: jnp.ndarray    # [N, K, 3]
+    dirs: jnp.ndarray    # [N, K, 3]
+    deltas: jnp.ndarray  # [N, K]
+    ts: jnp.ndarray      # [N, K]
+    valid: jnp.ndarray   # [N, K] bool
+
+
+def compact_topk(ts, dts, valid, rays_o, rays_d, k: int) -> MarchedGrid:
+    """Select each ray's first K valid candidates via top_k (sort-based,
+    ~15x faster on TPU than the scatter-based global compaction for full
+    candidate ladders). Samples stay t-ordered; rays with more than K valid
+    candidates are truncated (the reference similarly truncates at
+    max_steps / mean_count, raymarching.py:198-204)."""
+    n, t = ts.shape
+    # score: valid first, then ascending t  ->  use -candidate_index
+    score = jnp.where(valid, -jnp.arange(t, dtype=jnp.float32)[None, :], -1e9)
+    _, sel = jax.lax.top_k(score, k)          # [N, K] candidate indices
+    sel_sorted = jnp.sort(sel, axis=-1)       # ascending t order
+    take = lambda a: jnp.take_along_axis(a, sel_sorted, axis=1)
+    ts_k = take(ts)
+    dts_k = take(dts)
+    valid_k = take(valid.astype(jnp.int32)).astype(jnp.bool_)
+    xyz = rays_o[:, None, :] + ts_k[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+    return MarchedGrid(xyzs=xyz, dirs=dirs, deltas=dts_k, ts=ts_k, valid=valid_k)
+
+
+def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                    bitfield: jnp.ndarray, bound: float, cascades: int,
+                    dt_gamma: float, max_steps: int, k: int,
+                    num_candidates: int | None = None,
+                    perturb: jnp.ndarray | None = None,
+                    min_near: float = 0.05,
+                    aabb: jnp.ndarray | None = None) -> MarchedGrid:
+    """Occupancy march producing the per-ray [N, K] layout (see compact_topk)."""
+    if aabb is None:
+        aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
+    if num_candidates is None:
+        num_candidates = max_steps
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
+                                  max_steps, perturb)
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
+    valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
+    return compact_topk(ts, dts, valid, rays_o, rays_d, k)
+
+
 def march_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, bitfield: jnp.ndarray,
                bound: float, cascades: int, dt_gamma: float, max_steps: int,
                budget: int, num_candidates: int | None = None,

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.ops.composite import composite_dense, composite_flat
-from seal3d_tpu.ops.raymarch import march_rays, near_far_from_aabb, sph_from_ray
+from seal3d_tpu.ops.raymarch import (march_rays, march_rays_grid,
+                                     near_far_from_aabb, sph_from_ray)
 
 
 @dataclass(frozen=True)
@@ -40,6 +41,10 @@ class RenderOptions:
     min_near: float = 0.2
     density_scale: float = 1.0
     bg_radius: float = -1.0
+    # 'topk': per-ray [N, K] compaction via sort (fast on TPU);
+    # 'flat': global-budget ray-contiguous buffer (scatter-based; exact
+    #         analog of the reference's shared sample pool).
+    compaction: str = "topk"
 
     @cached_property
     def cascades(self) -> int:
@@ -81,21 +86,38 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
     jitter = None
     if perturb and key is not None:
         jitter = jax.random.uniform(key, (n,))
-    marched = march_rays(
-        rays_o, rays_d, bitfield,
-        bound=opts.bound, cascades=opts.cascades, dt_gamma=opts.dt_gamma,
-        max_steps=opts.max_steps, budget=n * opts.budget_per_ray,
-        num_candidates=opts.num_candidates, perturb=jitter,
-        min_near=opts.min_near, aabb=aabb,
-    )
-    sigma, rgb = field.apply(params, cfg, marched.xyzs, marched.dirs)
-    sigma = jnp.where(marched.valid, sigma * opts.density_scale, 0.0)
-    out = composite_flat(sigma, rgb, marched.deltas, marched.ts,
-                         marched.ray_id, marched.offsets, marched.valid, n)
+    if opts.compaction == "topk":
+        m = march_rays_grid(
+            rays_o, rays_d, bitfield,
+            bound=opts.bound, cascades=opts.cascades, dt_gamma=opts.dt_gamma,
+            max_steps=opts.max_steps, k=opts.budget_per_ray,
+            num_candidates=opts.num_candidates, perturb=jitter,
+            min_near=opts.min_near, aabb=aabb,
+        )
+        k = opts.budget_per_ray
+        sigma, rgb = field.apply(params, cfg, m.xyzs.reshape(-1, 3),
+                                 m.dirs.reshape(-1, 3))
+        sigma = jnp.where(m.valid, sigma.reshape(n, k) * opts.density_scale, 0.0)
+        out = composite_dense(sigma, rgb.reshape(n, k, 3), m.deltas, m.ts,
+                              m.valid)
+        num_samples = m.valid.sum()
+    else:
+        marched = march_rays(
+            rays_o, rays_d, bitfield,
+            bound=opts.bound, cascades=opts.cascades, dt_gamma=opts.dt_gamma,
+            max_steps=opts.max_steps, budget=n * opts.budget_per_ray,
+            num_candidates=opts.num_candidates, perturb=jitter,
+            min_near=opts.min_near, aabb=aabb,
+        )
+        sigma, rgb = field.apply(params, cfg, marched.xyzs, marched.dirs)
+        sigma = jnp.where(marched.valid, sigma * opts.density_scale, 0.0)
+        out = composite_flat(sigma, rgb, marched.deltas, marched.ts,
+                             marched.ray_id, marched.offsets, marched.valid, n)
+        num_samples = marched.valid.sum()
     bg = _background(field, params, cfg, opts, rays_o, rays_d, bg_color)
     image = out["image"] + (1.0 - out["weights_sum"])[:, None] * bg
     return {"image": image, "depth": out["depth"],
-            "weights_sum": out["weights_sum"], "num_samples": marched.valid.sum()}
+            "weights_sum": out["weights_sum"], "num_samples": num_samples}
 
 
 def sample_pdf(key, bins, weights, n_samples, deterministic=False):

@@ -208,3 +208,33 @@ def test_march_rays_hits_occupied_region():
     pts = np.asarray(m.xyzs)[np.asarray(m.valid)]
     assert len(pts) > 10
     assert (pts >= -0.02).all(), pts.min(0)
+
+
+def test_hashgrid_pallas_backend_matches_xla():
+    """The blocked one-hot kernel path must agree with the XLA gather path
+    (kernel runs bf16 matmuls -> loose tolerance)."""
+    import dataclasses
+
+    cfg_x = HashGridConfig(num_levels=4, level_dim=2, base_resolution=4,
+                           desired_resolution=64, log2_hashmap_size=14,
+                           backend="xla")
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas")
+    # pallas pads every level to 2^14; build its table, then scatter the
+    # xla-layout values into it so both describe the same function
+    key = jax.random.PRNGKey(0)
+    table_p = hashgrid_init(key, cfg_p, std=0.5)
+    t = 2**14
+    # xla table with per-level offsets mapped into padded layout
+    parts = []
+    for (res, off, n, uh), (res2, off2, n2, uh2) in zip(cfg_x.level_params,
+                                                        cfg_p.level_params):
+        parts.append(table_p[off2 : off2 + n])
+    table_x = jnp.concatenate(parts)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (40, 3))
+    out_x = hashgrid_encode(table_x, x, cfg_x)
+    out_p = hashgrid_encode(table_p, x, cfg_p)
+    np.testing.assert_allclose(out_p, out_x, rtol=2e-2, atol=2e-2)
+
+    g = jax.grad(lambda tb: (hashgrid_encode(tb, x, cfg_p) ** 2).sum())(table_p)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
