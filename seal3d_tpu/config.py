@@ -1,0 +1,97 @@
+"""Shared CLI surface.
+
+Typed replacement for the reference's per-main argparse blocks
+(main_nerf.py:15-76 and friends). The `-O` macro maps to the TPU-native fast
+path (occupancy march + pallas hash encode + blocked training) the way the
+reference's `-O` enabled fp16 + cuda_ray + preload. `path` may be a scene
+directory with transforms*.json or the literal 'synthetic[_dynamic]' to use
+the built-in procedural scene (this image ships no NeRF datasets)."""
+
+from __future__ import annotations
+
+import argparse
+
+from seal3d_tpu.render.renderer import RenderOptions
+from seal3d_tpu.train.trainer import TrainConfig
+
+
+def common_parser(desc: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("path", type=str,
+                   help="scene dir (transforms*.json) or 'synthetic'")
+    p.add_argument("-O", action="store_true",
+                   help="fast mode: occupancy march + pallas encoder")
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--test", action="store_true", help="test mode (no training)")
+    p.add_argument("--iters", type=int, default=30000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--num_rays", type=int, default=4096)
+    p.add_argument("--dense_render", action="store_true",
+                   help="train through the dense (oracle) renderer")
+    p.add_argument("--max_steps", type=int, default=1024)
+    p.add_argument("--num_steps", type=int, default=128)
+    p.add_argument("--upsample_steps", type=int, default=128)
+    p.add_argument("--budget_per_ray", type=int, default=48)
+    p.add_argument("--patch_size", type=int, default=1)
+    p.add_argument("--bound", type=float, default=2.0)
+    p.add_argument("--scale", type=float, default=0.33)
+    p.add_argument("--offset", type=float, nargs=3, default=[0, 0, 0])
+    p.add_argument("--dt_gamma", type=float, default=1 / 128)
+    p.add_argument("--min_near", type=float, default=0.2)
+    p.add_argument("--density_thresh", type=float, default=10.0)
+    p.add_argument("--bg_radius", type=float, default=-1)
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--error_map", action="store_true")
+    p.add_argument("--grid_backend", type=str, default=None,
+                   choices=["xla", "pallas"])
+    p.add_argument("--log2_hashmap_size", type=int, default=None)
+    p.add_argument("--eval_interval", type=int, default=50)
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--W", type=int, default=800)
+    p.add_argument("--H", type=int, default=800)
+    p.add_argument("--radius", type=float, default=3.0)
+    p.add_argument("--fovy", type=float, default=60.0)
+    p.add_argument("--save_mesh", action="store_true")
+    p.add_argument("--mesh_resolution", type=int, default=256)
+    return p
+
+
+def build_options(args) -> RenderOptions:
+    return RenderOptions(
+        bound=args.bound, dt_gamma=args.dt_gamma, max_steps=args.max_steps,
+        budget_per_ray=args.budget_per_ray, num_candidates=args.max_steps,
+        num_steps=args.num_steps, upsample_steps=args.upsample_steps,
+        min_near=args.min_near, bg_radius=args.bg_radius)
+
+
+def build_train_config(args) -> TrainConfig:
+    return TrainConfig(
+        lr=args.lr, max_steps=args.iters, num_rays=args.num_rays,
+        density_thresh=0.01 if args.density_thresh > 1 else args.density_thresh,
+        error_map=args.error_map, workspace=args.workspace)
+
+
+def load_dataset(args, split: str = "trainval"):
+    from seal3d_tpu.data.provider import NeRFDataset
+    from seal3d_tpu.data.synthetic import DynamicSyntheticScene, SyntheticScene
+
+    if args.path.startswith("synthetic"):
+        scene = (DynamicSyntheticScene() if "dynamic" in args.path
+                 else SyntheticScene())
+        n = {"trainval": 24, "train": 20, "val": 4, "test": 8}.get(split, 8)
+        seed = {"trainval": 0, "train": 0, "val": 1, "test": 2}.get(split, 2)
+        return scene.make_dataset(n_views=n, h=args.H // args.downscale,
+                                  w=args.W // args.downscale, seed=seed)
+    return NeRFDataset.load(args.path, split=split, downscale=args.downscale,
+                            scale=args.scale, offset=tuple(args.offset),
+                            use_error_map=args.error_map)
+
+
+def grid_defaults(args):
+    """Resolve backend/table-size defaults: -O selects the TPU-native pallas
+    operating point (T=2^14); plain mode keeps reference-parity XLA T=2^19."""
+    backend = args.grid_backend or ("pallas" if args.O else "xla")
+    log2 = args.log2_hashmap_size or (14 if backend == "pallas" else 19)
+    return backend, log2

@@ -286,12 +286,19 @@ class SealTrainer(Trainer):
         self._teacher_apply = jax.jit(teacher_apply)
 
     def _build_pretrain_opt(self, lr: float, sigma_log_space: bool = True):
-        """Pretrain optimizer: hash tables only, constant high LR
-        (freeze_mlp + set_lr, reference :472-505)."""
+        """Pretrain optimizer: grid params only at constant high LR
+        (freeze_mlp + set_lr, reference :472-505). What counts as "grid" is
+        backbone-specific: NGP freezes its MLPs (reference freeze_mlp NGP
+        branch), TensoRF-family backbones train everything except buffers
+        (reference's TensoRF freeze_mlp is a no-op, :474-481)."""
         field, fcfg = self.field, self.fcfg
 
         def label(params):
-            return {k: ("encoder" if k.startswith("encoder") else "frozen")
+            if "sigma_net" in params:   # NGP-like: train hash tables only
+                return {k: ("encoder" if "encoder" in k else "frozen")
+                        for k in params}
+            # TensoRF-family: train everything except geometric buffers
+            return {k: ("frozen" if k in ("aabb", "T", "R") else "encoder")
                     for k in params}
 
         self._pre_opt = optax.multi_transform(
