@@ -69,7 +69,7 @@ def build_options(args) -> RenderOptions:
 def build_train_config(args) -> TrainConfig:
     return TrainConfig(
         lr=args.lr, max_steps=args.iters, num_rays=args.num_rays,
-        density_thresh=0.01 if args.density_thresh > 1 else args.density_thresh,
+        density_thresh=args.density_thresh,
         error_map=args.error_map, workspace=args.workspace)
 
 

@@ -174,7 +174,7 @@ def _make_bwd_kernel(levels, f_dim, rows, smoothstep):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def hash_encode_fused(tables, x, cfg, tile: int = 2048):
+def hash_encode_fused(tables, x, cfg, tile: int = 1024):
     """Fused hash-grid encode.
 
     Args:

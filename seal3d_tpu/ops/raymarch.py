@@ -208,20 +208,30 @@ class MarchedGrid(NamedTuple):
 
 
 def compact_topk(ts, dts, valid, rays_o, rays_d, k: int) -> MarchedGrid:
-    """Select each ray's first K valid candidates via top_k (sort-based,
-    ~15x faster on TPU than the scatter-based global compaction for full
-    candidate ladders). Samples stay t-ordered; rays with more than K valid
-    candidates are truncated (the reference similarly truncates at
-    max_steps / mean_count, raymarching.py:198-204)."""
+    """Select <= K valid candidates per ray via top_k (sort-based, ~15x
+    faster on TPU than the scatter-based global compaction).
+
+    Rays with more than K valid candidates are SUBSAMPLED with a per-ray
+    stride rather than truncated at the near end: taking the first K would
+    systematically drop the far scene and train camera fog (the reference
+    instead drops whole rays when over budget, raymarching.py:198-204 —
+    stride subsampling preserves full depth coverage at coarser dt, with
+    deltas scaled by the stride to keep opacity consistent)."""
     n, t = ts.shape
-    # score: valid first, then ascending t  ->  use -candidate_index
-    score = jnp.where(valid, -jnp.arange(t, dtype=jnp.float32)[None, :], -1e9)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)  # 1-based among valid
+    count = rank[:, -1:]
+    stride = jnp.ceil(count / k).astype(jnp.int32)      # [N,1] >= 1
+    stride = jnp.maximum(stride, 1)
+    keep = valid & (((rank - 1) % stride) == 0)
+    dts = dts * stride.astype(dts.dtype)                # coarser step length
+    # score: kept first, ascending t
+    score = jnp.where(keep, -jnp.arange(t, dtype=jnp.float32)[None, :], -1e9)
     _, sel = jax.lax.top_k(score, k)          # [N, K] candidate indices
     sel_sorted = jnp.sort(sel, axis=-1)       # ascending t order
     take = lambda a: jnp.take_along_axis(a, sel_sorted, axis=1)
     ts_k = take(ts)
     dts_k = take(dts)
-    valid_k = take(valid.astype(jnp.int32)).astype(jnp.bool_)
+    valid_k = take(keep.astype(jnp.int32)).astype(jnp.bool_)
     xyz = rays_o[:, None, :] + ts_k[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
     return MarchedGrid(xyzs=xyz, dirs=dirs, deltas=dts_k, ts=ts_k, valid=valid_k)

@@ -60,21 +60,17 @@ def extract_geometry(density_fn, bound: float, resolution: int = 256,
     """
     lin = np.linspace(-bound, bound, resolution, dtype=np.float32)
     query = jax.jit(density_fn)
-    vals = np.empty((resolution, resolution, resolution), np.float32)
-    # z-major grid; query in z-slabs to bound memory
-    xs, ys = np.meshgrid(lin, lin, indexing="xy")
-    plane = np.stack([xs.reshape(-1), ys.reshape(-1)], -1)  # [R*R, 2] (x, y)
-    n = plane.shape[0]
+    # full [z, y, x] grid queried in fixed-size chunks (one dispatch each)
+    zz, yy, xx = np.meshgrid(lin, lin, lin, indexing="ij")
+    pts = np.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], -1)
+    n = pts.shape[0]
     pad = (-n) % chunk
-    for zi, z in enumerate(lin):
-        pts = np.concatenate(
-            [plane, np.full((n, 1), z, np.float32)], -1)
-        if pad:
-            pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
-        out = []
-        for i in range(0, len(pts), chunk):
-            out.append(np.asarray(query(jnp.asarray(pts[i : i + chunk]))))
-        vals[zi] = np.concatenate(out)[:n].reshape(resolution, resolution)
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+    out = []
+    for i in range(0, len(pts), chunk):
+        out.append(np.asarray(query(jnp.asarray(pts[i : i + chunk]))))
+    vals = np.concatenate(out)[:n].reshape(resolution, resolution, resolution)
     spacing = 2 * bound / (resolution - 1)
     verts, tris = marching_tetrahedra(vals, threshold,
                                       origin=(-bound, -bound, -bound),

@@ -42,7 +42,10 @@ class TrainConfig:
     ema_decay: float = 0.95
     update_grid_interval: int = 16
     full_grid_updates: int = 16     # first N grid updates re-query every cell
-    density_thresh: float = 0.01
+    # occupancy threshold = min(mean_density, density_thresh); the reference
+    # default is 10 (main_nerf.py --density_thresh) — too low a cap keeps the
+    # whole grid occupied and ray budgets collapse onto near-camera fog.
+    density_thresh: float = 10.0
     eval_chunk: int = 8192
     eval_budget_per_ray: int = 192
     random_bg: bool = True
@@ -160,7 +163,11 @@ class Trainer:
                             error_map=emap)
             img = self._images[img_idx].reshape(h * w, -1).astype(jnp.float32) / 255.0
             gt = jnp.take(img, rays["inds"], axis=0)
-            if cfg.random_bg:
+            # Random background only when gt has alpha to composite it onto;
+            # RGB-only gt keeps a white bg (reference rule: C==3 -> bg=1,
+            # nerf/utils.py:465-476 — otherwise pred and gt backgrounds
+            # diverge and training regresses).
+            if cfg.random_bg and gt.shape[-1] == 4:
                 bg = jax.random.uniform(kbg, (cfg.num_rays, 3))
             else:
                 bg = jnp.ones((cfg.num_rays, 3))
