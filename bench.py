@@ -31,9 +31,22 @@ def main():
     from seal3d_tpu.render.renderer import RenderOptions
     from seal3d_tpu.train.trainer import TrainConfig, Trainer
 
+    import os
+
     scene = SyntheticScene()
     t0 = time.time()
-    ds = scene.make_dataset(n_views=12, h=256, w=256, seed=0)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_dataset.npz")
+    if os.path.exists(cache):
+        from seal3d_tpu.data.provider import NeRFDataset
+
+        z = np.load(cache)
+        ds = NeRFDataset(poses=z["poses"], images=z["images"],
+                         intrinsics=z["intrinsics"], h=int(z["h"]), w=int(z["w"]))
+    else:
+        ds = scene.make_dataset(n_views=12, h=256, w=256, seed=0)
+        np.savez_compressed(cache, poses=ds.poses, images=ds.images,
+                            intrinsics=ds.intrinsics, h=ds.h, w=ds.w)
     t_data = time.time() - t0
 
     fcfg = NGPConfig(bound=1.0, log2_hashmap_size=14, grid_backend="pallas")
