@@ -137,21 +137,35 @@ def moller_trumbore_any(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                         tris: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """True where a ray hits ANY triangle (t>=0). rays [N,3], tris [F,3,3].
 
-    Vectorized batch Moller-Trumbore (same contract as seal_utils.py:630-664).
-    Degenerate padding triangles (zero area) never intersect.
+    Vectorized batch Moller-Trumbore (same contract as seal_utils.py:630-664),
+    written structure-of-arrays: every intermediate is a plain [N, F] array.
+    (The AoS form with [N,F,3] cross products crashes the XLA:TPU fusion
+    pass — SIGILL in MainFusionOptimize on v5e — and small trailing dims tile
+    poorly anyway.) Degenerate padding triangles never intersect.
     """
-    e1 = tris[:, 1] - tris[:, 0]  # [F,3]
-    e2 = tris[:, 2] - tris[:, 0]
-    n = jnp.cross(e1, e2)
-    det = -jnp.einsum("md,fd->mf", rays_d, n)
+    ax, ay, az = (tris[:, 0, i] for i in range(3))             # [F]
+    e1x, e1y, e1z = (tris[:, 1, i] - tris[:, 0, i] for i in range(3))
+    e2x, e2y, e2z = (tris[:, 2, i] - tris[:, 0, i] for i in range(3))
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    ox, oy, oz = (rays_o[:, i:i + 1] for i in range(3))        # [N,1]
+    dx, dy, dz = (rays_d[:, i:i + 1] for i in range(3))
+
+    det = -(dx * nx[None] + dy * ny[None] + dz * nz[None])     # [N,F]
     invdet = 1.0 / (det + eps)
-    a0 = rays_o[:, None, :] - tris[None, :, 0]  # [N,F,3]
-    da0 = jnp.cross(a0, rays_d[:, None, :])
-    u = jnp.einsum("mfd,fd->mf", da0, e2) * invdet
-    v = -jnp.einsum("mfd,fd->mf", da0, e1) * invdet
-    t = jnp.einsum("mfd,fd->mf", a0, n) * invdet
-    nondegenerate = (n * n).sum(-1) > 1e-16
-    hit = (t >= 0) & (u >= 0) & (v >= 0) & (u + v <= 1.0) & nondegenerate[None, :]
+    a0x = ox - ax[None]
+    a0y = oy - ay[None]
+    a0z = oz - az[None]
+    # da0 = a0 x d  (d broadcast per ray)
+    cx = a0y * dz - a0z * dy
+    cy = a0z * dx - a0x * dz
+    cz = a0x * dy - a0y * dx
+    u = (cx * e2x[None] + cy * e2y[None] + cz * e2z[None]) * invdet
+    v = -(cx * e1x[None] + cy * e1y[None] + cz * e1z[None]) * invdet
+    t = (a0x * nx[None] + a0y * ny[None] + a0z * nz[None]) * invdet
+    nondeg = (nx * nx + ny * ny + nz * nz) > 1e-16
+    hit = (t >= 0) & (u >= 0) & (v >= 0) & (u + v <= 1.0) & nondeg[None, :]
     return hit.any(axis=1)
 
 
