@@ -38,6 +38,10 @@ def add_seal_args(parser):
     parser.add_argument("--pretraining_only", action="store_true")
     parser.add_argument("--custom_pose", action="store_true",
                         help="use edit-centered random poses for finetuning")
+    parser.add_argument("--secondary_teacher_ckpt", type=str, default=None,
+                        help="checkpoint of a second teacher model answering "
+                             "mapped-region queries (cross-scene editing, "
+                             "reference SealNeRF/renderer.py:306-309)")
     return parser
 
 
@@ -77,11 +81,19 @@ def run_seal(args, field_mod, fcfg, make_trainer, name):
     # ---- mapper + student
     config = load_mapper_config(args.seal_config)
     mapper = build_mapper(config, workspace=tcfg.workspace)
+    secondary = {}
+    if getattr(args, "secondary_teacher_ckpt", None):
+        sec = make_trainer(teacher_tcfg, ds, name=f"{name}_teacher2")
+        sec.init_state()
+        sec.load_checkpoint(args.secondary_teacher_ckpt)
+        secondary = dict(secondary_field=field_mod, secondary_cfg=fcfg,
+                         secondary_params=sec.state.params)
+        print(f"[teacher2] loaded {args.secondary_teacher_ckpt}")
     student = SealTrainer(field_mod, fcfg, opts, tcfg, mapper,
                           teacher_params=teacher.state.params,
                           teacher_bitfield=teacher.state.occ.bitfield,
                           dataset=ds, key=jax.random.PRNGKey(args.seed + 1),
-                          name=f"{name}_student")
+                          name=f"{name}_student", **secondary)
     student.init_state()
     if args.custom_pose:
         from seal3d_tpu.seal.provider import seal_random_dataset

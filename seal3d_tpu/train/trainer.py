@@ -360,7 +360,19 @@ class Trainer:
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + bg_color * (1 - gt[..., 3:])
             meter.update(np.asarray(img), gt)
-        return meter.measure()
+        result = meter.measure()
+        self._log_scalar("eval/psnr", result, int(self.state.step))
+        # best-checkpoint tracking (reference nerf/utils.py:996-1073: best
+        # ckpt keyed on metric, EMA weights, light save)
+        if self.cfg.workspace and result > getattr(self, "_best_psnr", -1.0):
+            self._best_psnr = result
+            os.makedirs(os.path.join(self.cfg.workspace, "checkpoints"),
+                        exist_ok=True)
+            ckpt_io.save_state(
+                os.path.join(self.cfg.workspace, "checkpoints",
+                             f"{self.name}_best.npz"),
+                self.state, full=False)
+        return result
 
     # ------------------------------------------------------------- checkpoints
 
