@@ -97,9 +97,7 @@ def _make_fwd_kernel(levels, f_dim, rows, smoothstep):
             resolution = res_ref[l]
             use_hash = hash_ref[l]
             pos0, frac = _corner_setup(xs, scale, resolution, smoothstep)
-            accs = []
-            for f in range(f_dim):
-                accs.append(jnp.zeros((ps, LANES), jnp.float32))
+            accs = [jnp.zeros((ps, LANES), jnp.float32) for _ in range(f_dim)]
             for corner in _CORNERS:
                 idx, w = _corner_idx_w(pos0, frac, corner, resolution,
                                        use_hash, t_size)
@@ -108,15 +106,22 @@ def _make_fwd_kernel(levels, f_dim, rows, smoothstep):
                 b3 = lo[:, :, None] == lane3
                 a3s = [(hi[:, :, None] == lane3[:, :, :ck] + k * ck
                         ).astype(jnp.bfloat16) for k in range(n_chunks)]
+                # one wide matmul covering all F features: [.,128] @ [128, F*128]
+                rowsums = []
+                for k in range(n_chunks):
+                    wide = jnp.concatenate(
+                        [tab_ref[l, f, pl.ds(k * ck, ck), :]
+                         for f in range(f_dim)], axis=-1).astype(jnp.bfloat16)
+                    rs = jax.lax.dot_general(a3s[k], wide, dn,
+                                             preferred_element_type=jnp.float32)
+                    rowsums.append(rs)
+                rowsum = rowsums[0]
+                for rs in rowsums[1:]:
+                    rowsum = rowsum + rs
                 for f in range(f_dim):
-                    rowsum = jnp.zeros((ps, LANES, LANES), jnp.float32)
-                    for k in range(n_chunks):
-                        chunk = tab_ref[l, f, pl.ds(k * ck, ck), :].astype(
-                            jnp.bfloat16)
-                        rowsum = rowsum + jax.lax.dot_general(
-                            a3s[k], chunk, dn,
-                            preferred_element_type=jnp.float32)
-                    val = jnp.where(b3, rowsum, 0.0).sum(-1)
+                    val = jnp.where(
+                        b3, rowsum[:, :, f * LANES:(f + 1) * LANES], 0.0
+                    ).sum(-1)
                     accs[f] = accs[f] + w * val
             for f in range(f_dim):
                 out_ref[0, l * f_dim + f] = accs[f]
