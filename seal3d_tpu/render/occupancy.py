@@ -31,15 +31,18 @@ class OccupancyState(NamedTuple):
     mean_density: jnp.ndarray   # scalar f32
     iter_density: jnp.ndarray   # scalar int32 — number of updates so far
     mean_count: jnp.ndarray     # scalar f32 — EMA of samples/batch (march budget diagnostics)
+    occ_aabb: jnp.ndarray = None  # [6] world AABB of occupied cells (march tightening)
 
 
-def occupancy_init(cascades: int) -> OccupancyState:
+def occupancy_init(cascades: int, bound: float = 1.0) -> OccupancyState:
+    b = float(max(2 ** (cascades - 1), 1))
     return OccupancyState(
         density_grid=jnp.zeros((cascades, GRID_CELLS), jnp.float32),
         bitfield=jnp.zeros((cascades * GRID_CELLS // 8,), jnp.uint8),
         mean_density=jnp.zeros((), jnp.float32),
         iter_density=jnp.zeros((), jnp.int32),
         mean_count=jnp.full((), -1.0, jnp.float32),
+        occ_aabb=jnp.array([-b, -b, -b, b, b, b], jnp.float32),
     )
 
 
@@ -131,12 +134,26 @@ def occupancy_update(
     mean_density = jnp.where(trained, grid, 0.0).sum() / jnp.maximum(trained.sum(), 1)
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = packbits(grid, thresh)
+    # world AABB of occupied coarsest-cascade cells: tightens per-ray
+    # near/far so candidate ladders skip guaranteed-empty margins.
+    coords = morton3d_invert(jnp.arange(GRID_CELLS, dtype=jnp.uint32)).astype(jnp.float32)
+    occ_any = (grid > thresh).any(0)
+    b_last = min(float(2 ** (cascades - 1)), float(bound))
+    world = (coords / GRID_SIZE * 2.0 - 1.0) * b_last
+    cell = 2.0 * b_last / GRID_SIZE
+    big = jnp.full((3,), 1e9, jnp.float32)
+    lo = jnp.where(occ_any[:, None], world, big).min(0) - cell
+    hi = jnp.where(occ_any[:, None], world, -big).max(0) + 2 * cell
+    has_occ = occ_any.any()
+    occ_aabb = jnp.where(has_occ, jnp.concatenate([lo, hi]),
+                         jnp.array([-b_last] * 3 + [b_last] * 3, jnp.float32))
     return OccupancyState(
         density_grid=grid,
         bitfield=bitfield,
         mean_density=mean_density,
         iter_density=state.iter_density + 1,
         mean_count=state.mean_count,
+        occ_aabb=occ_aabb,
     )
 
 

@@ -114,6 +114,10 @@ class SealTrainer(Trainer):
         byte_idx, masks = cells_to_byte_masks(cells)
         self._hack_bytes = jnp.asarray(byte_idx)
         self._hack_masks = jnp.asarray(masks)
+        # march-AABB expansion covering the (initially empty) edit region
+        ffb = np.asarray(mapper.force_fill_bound, np.float32).reshape(-1, 2, 3)
+        self._hack_aabb = jnp.asarray(
+            np.concatenate([ffb[:, 0].min(0), ffb[:, 1].max(0)]))
         self.teacher_bitfield = hack_bitfield(jnp.asarray(teacher_bitfield),
                                               self._hack_bytes, self._hack_masks)
         self.pretrain_data = {}
@@ -349,14 +353,30 @@ class SealTrainer(Trainer):
         self.state = self.state._replace(params=params, ema_params=ema)
         return float(jnp.stack([jnp.asarray(l) for l in losses]).mean())
 
+    def _post_grid_update(self):
+        """Keep the bitfield hack + expanded march AABB alive across the base
+        trainer's periodic occupancy refreshes."""
+        self._apply_hack()
+
     def update_grid_hacked(self, key, full=False):
         """Occupancy refresh + re-hack (reference update_extra_state hook
-        SealNeRF/renderer.py:50-60)."""
+        SealNeRF/renderer.py:50-60); the march AABB is expanded to keep the
+        (initially empty) edit region inside the candidate ladders."""
         fn = self._update_grid_full if full else self._update_grid_partial
         self.state = fn(self.state, key)
-        self.state = self.state._replace(occ=self.state.occ._replace(
-            bitfield=hack_bitfield(self.state.occ.bitfield, self._hack_bytes,
-                                   self._hack_masks)))
+        self._apply_hack()
+
+    def _apply_hack(self):
+        occ = self.state.occ
+        aabb = occ.occ_aabb
+        if aabb is not None:
+            aabb = jnp.concatenate([
+                jnp.minimum(aabb[:3], self._hack_aabb[:3]),
+                jnp.maximum(aabb[3:], self._hack_aabb[3:])])
+        self.state = self.state._replace(occ=occ._replace(
+            bitfield=hack_bitfield(occ.bitfield, self._hack_bytes,
+                                   self._hack_masks),
+            occ_aabb=aabb))
 
     def train_edit(self, pcfg: PretrainConfig, finetune_steps: int = 1500,
                    pretrain_epochs: Optional[int] = None, proxy: bool = True,

@@ -71,7 +71,7 @@ class CCNeRFTrainer(Trainer):
     def _wrap_residual_loss(self):
         field, fcfg, opts, cfg = self.field, self.fcfg, self.opts, self.cfg
 
-        def loss_fn(params, bitfield, batch, key):
+        def loss_fn(params, bitfield, batch, key, occ_aabb=None):
             rays_o, rays_d = batch["rays_o"], batch["rays_d"]
             aabb = jnp.array(opts.aabb, jnp.float32)
             nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, opts.min_near)

@@ -146,7 +146,18 @@ class Trainer:
     def _build_steps(self, loss_override=None):
         field, fcfg, opts, cfg = self.field, self.fcfg, self.opts, self.cfg
 
-        def default_loss_fn(params, bitfield, batch, key):
+        def _march_aabb(occ_aabb):
+            """Intersect the occupied-cell AABB with the scene box (tightens
+            per-ray candidate ladders to where content can exist)."""
+            scene = jnp.array(opts.aabb, jnp.float32)
+            if occ_aabb is None:
+                return scene
+            return jnp.concatenate([jnp.maximum(occ_aabb[:3], scene[:3]),
+                                    jnp.minimum(occ_aabb[3:], scene[3:])])
+
+        self._march_aabb = _march_aabb
+
+        def default_loss_fn(params, bitfield, batch, key, occ_aabb=None):
             if self.use_dense:
                 out = render_rays_dense(params, field, fcfg, batch["rays_o"],
                                         batch["rays_d"], opts, key=key,
@@ -154,7 +165,8 @@ class Trainer:
             else:
                 out = render_rays(params, field, fcfg, bitfield, batch["rays_o"],
                                   batch["rays_d"], opts, key=key,
-                                  bg_color=batch["bg"], perturb=True)
+                                  bg_color=batch["bg"], perturb=True,
+                                  aabb=_march_aabb(occ_aabb))
             pred = out["image"]
             per_ray = ((pred - batch["gt"]) ** 2).mean(-1)
             if "gt_depth" in batch:
@@ -199,7 +211,8 @@ class Trainer:
         def train_step(state: TrainState, key):
             batch, inds, img_idx, kjit = sample_batch(state, key)
             (loss, (per_ray, out)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state.occ.bitfield, batch, kjit)
+                loss_fn, has_aux=True)(state.params, state.occ.bitfield, batch,
+                                       kjit, state.occ.occ_aabb)
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
             params = optax.apply_updates(state.params, updates)
@@ -253,7 +266,8 @@ class Trainer:
         self._update_grid_full = jax.jit(partial(update_grid, full=True), **donate)
         self._update_grid_partial = jax.jit(partial(update_grid, full=False), **donate)
 
-        def render_eval(params, bitfield, rays_o, rays_d, bg, key):
+        def render_eval(params, bitfield, rays_o, rays_d, bg, key,
+                        occ_aabb=None):
             eval_opts = RenderOptions(
                 bound=opts.bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
                 budget_per_ray=cfg.eval_budget_per_ray,
@@ -264,7 +278,8 @@ class Trainer:
                 return render_rays_dense(params, field, fcfg, rays_o, rays_d,
                                          eval_opts, key=key, bg_color=bg)
             return render_rays(params, field, fcfg, bitfield, rays_o, rays_d,
-                               eval_opts, key=key, bg_color=bg)
+                               eval_opts, key=key, bg_color=bg,
+                               aabb=_march_aabb(occ_aabb))
 
         self._render_eval = jax.jit(render_eval)
 
@@ -291,6 +306,7 @@ class Trainer:
                 full = self.state.occ.iter_density < self.cfg.full_grid_updates
                 fn = self._update_grid_full if bool(full) else self._update_grid_partial
                 self.state = fn(self.state, k1)
+                self._post_grid_update()
             if blocked:
                 n = min(self.cfg.update_grid_interval, steps - i)
                 if self.use_dense:
@@ -312,6 +328,10 @@ class Trainer:
                               f"loss={metrics['loss']:.5f} "
                               f"({i / dt:.1f} it/s)")
         return last_metrics
+
+    def _post_grid_update(self):
+        """Hook after each occupancy refresh (Seal re-applies the bitfield
+        hack here — reference SealNeRF/renderer.py:50-60)."""
 
     def _log(self, msg: str):
         print(msg)
@@ -341,7 +361,8 @@ class Trainer:
                 ro = jnp.pad(ro, ((0, pad), (0, 0)))
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
             out = self._render_eval(params, self.state.occ.bitfield, ro, rd, bg,
-                                    jax.random.PRNGKey(0))
+                                    jax.random.PRNGKey(0),
+                                    self.state.occ.occ_aabb)
             imgs.append(out["image"][: min(chunk, n - i)])
             deps.append(out["depth"][: min(chunk, n - i)])
         return (jnp.concatenate(imgs).reshape(h, w, 3),
