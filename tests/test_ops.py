@@ -238,3 +238,57 @@ def test_hashgrid_pallas_backend_matches_xla():
 
     g = jax.grad(lambda tb: (hashgrid_encode(tb, x, cfg_p) ** 2).sum())(table_p)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_sph_from_ray_on_sphere():
+    from seal3d_tpu.ops.raymarch import sph_from_ray
+
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])  # hits sphere at (0,0,r): theta=0, phi=0
+    sph = np.asarray(sph_from_ray(o, d, radius=4.0))
+    np.testing.assert_allclose(sph[0], [0.0, 0.0], atol=1e-5)
+    d2 = jnp.array([[0.0, 1.0, 0.0]])  # +y pole: theta = pi/2 -> 1.0
+    sph2 = np.asarray(sph_from_ray(o, d2, radius=4.0))
+    np.testing.assert_allclose(sph2[0, 0], 1.0, atol=1e-5)
+
+
+def test_hashgrid_tv_loss():
+    from seal3d_tpu.ops.hashgrid import hashgrid_tv_loss
+
+    cfg = HashGridConfig(num_levels=2, level_dim=1, base_resolution=4,
+                         desired_resolution=8, log2_hashmap_size=16)
+    smooth = jnp.zeros((cfg.total_params, 1))
+    assert float(hashgrid_tv_loss(smooth, cfg, level=0)) == 0.0
+    rough = hashgrid_init(jax.random.PRNGKey(0), cfg, std=1.0)
+    assert float(hashgrid_tv_loss(rough, cfg, level=0)) > 0.0
+    g = jax.grad(lambda t: hashgrid_tv_loss(t, cfg))(rough)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_eff_distloss_zero_for_point_mass():
+    from seal3d_tpu.utils.losses import eff_distloss
+
+    # all weight on one sample with tiny interval -> near-zero distortion
+    w = jnp.zeros((2, 8)).at[:, 3].set(1.0)
+    ts = jnp.broadcast_to(jnp.linspace(0.1, 1.0, 8), (2, 8))
+    deltas = jnp.full((2, 8), 1e-6)
+    assert float(eff_distloss(w, ts, deltas)) < 1e-5
+    # spread weights -> positive loss
+    w2 = jnp.full((2, 8), 1.0 / 8)
+    assert float(eff_distloss(w2, ts, deltas)) > 1e-4
+
+
+def test_occ_aabb_tracks_occupied_region():
+    from seal3d_tpu.render.occupancy import occupancy_init, occupancy_update
+
+    occ = occupancy_init(cascades=1)
+
+    def density_fn(x):
+        inside = (jnp.abs(x - jnp.array([0.3, 0.0, -0.2])) < 0.2).all(-1)
+        return 50.0 * inside
+
+    occ = occupancy_update(occ, density_fn, jax.random.PRNGKey(0), bound=1.0,
+                           density_thresh=10.0, full=True)
+    aabb = np.asarray(occ.occ_aabb)
+    np.testing.assert_allclose(aabb[:3], [0.1, -0.2, -0.4], atol=0.06)
+    np.testing.assert_allclose(aabb[3:], [0.5, 0.2, 0.0], atol=0.06)
