@@ -44,6 +44,9 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--bg_radius", type=float, default=-1)
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--error_map", action="store_true")
+    p.add_argument("--color_space", type=str, default="srgb",
+                   choices=["srgb", "linear"],
+                   help="train against srgb images or linearized ones")
     p.add_argument("--grid_backend", type=str, default=None,
                    choices=["xla", "pallas"])
     p.add_argument("--log2_hashmap_size", type=int, default=None)
@@ -70,7 +73,8 @@ def build_train_config(args) -> TrainConfig:
     return TrainConfig(
         lr=args.lr, max_steps=args.iters, num_rays=args.num_rays,
         density_thresh=args.density_thresh,
-        error_map=args.error_map, workspace=args.workspace)
+        error_map=args.error_map, color_space=args.color_space,
+        workspace=args.workspace)
 
 
 def load_dataset(args, split: str = "trainval"):

@@ -72,6 +72,28 @@ def rand_poses(rng: np.random.Generator, size: int, radius: float = 1.0,
     return np.stack(poses)
 
 
+def visualize_poses(poses, size: float = 0.1, out_path: str = "poses.png"):
+    """Debug plot of camera frusta (reference visualize_poses,
+    nerf/provider.py:30-54) — matplotlib 3D quiver saved to a file."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure()
+    ax = fig.add_subplot(projection="3d")
+    poses = np.asarray(poses)
+    for pose in poses:
+        o = pose[:3, 3]
+        for axis, color in zip(range(3), "rgb"):
+            d = pose[:3, axis] * size
+            ax.quiver(o[0], o[1], o[2], d[0], d[1], d[2], color=color)
+    ax.set_box_aspect([1, 1, 1])
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+    return out_path
+
+
 @dataclass
 class NeRFDataset:
     """Loaded scene: poses [B,4,4] f32, images [B,H,W,C] uint8 (C=3|4),

@@ -50,6 +50,7 @@ class TrainConfig:
     eval_budget_per_ray: int = 192
     random_bg: bool = True
     error_map: bool = False
+    color_space: str = "srgb"  # 'linear' converts gt (reference --color_space)
     max_keep_ckpt: int = 2
     workspace: Optional[str] = None
 
@@ -190,6 +191,10 @@ class Trainer:
                             error_map=emap)
             img = self._images[img_idx].reshape(h * w, -1).astype(jnp.float32) / 255.0
             gt = jnp.take(img, rays["inds"], axis=0)
+            if cfg.color_space == "linear":
+                from seal3d_tpu.utils.color import srgb_to_linear
+
+                gt = gt.at[:, :3].set(srgb_to_linear(gt[:, :3]))
             # Random background only when gt has alpha to composite it onto;
             # RGB-only gt keeps a white bg (reference rule: C==3 -> bg=1,
             # nerf/utils.py:465-476 — otherwise pred and gt backgrounds
