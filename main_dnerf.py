@@ -23,7 +23,7 @@ def main():
     backend, log2t = grid_defaults(args)
 
     fcfg = DNeRFConfig(bound=args.bound, variant=args.variant,
-                       log2_hashmap_size=log2t,
+                       log2_hashmap_size=log2t, grid_backend=backend,
                        gridtype="tiled" if backend == "xla" else "hash")
     opts = build_options(args)
     tcfg = build_train_config(args)

@@ -44,6 +44,7 @@ class DNeRFConfig:
     sh_degree: int = 4
     log2_hashmap_size: int = 19
     gridtype: str = "tiled"           # reference default encoding="tiledgrid"
+    grid_backend: str = "xla"         # 'pallas' for the fused TPU kernel
     # deform / basis / hyper nets all share this size (reference: 5x128)
     num_layers_time: int = 5
     hidden_dim_time: int = 128
@@ -60,7 +61,8 @@ class DNeRFConfig:
             num_levels=16, level_dim=2, base_resolution=16,
             log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound),
-            gridtype=self.gridtype, input_dim=in_dim)
+            gridtype=self.gridtype, input_dim=in_dim,
+            backend=self.grid_backend if in_dim == 3 else "xla")
 
     @cached_property
     def time_enc_dim(self) -> int:
