@@ -15,7 +15,7 @@ schedule (tensoRF/utils.py:112-130).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Sequence, Tuple
 

@@ -25,8 +25,6 @@ reference default, dy_dx off, gridencoder/grid.py:27).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

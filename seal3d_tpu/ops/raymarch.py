@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from seal3d_tpu.ops.bitfield import GRID_CELLS, GRID_SIZE, bitfield_lookup
+from seal3d_tpu.ops.bitfield import GRID_SIZE, bitfield_lookup
 from seal3d_tpu.ops.morton import morton3d
 
 SQRT3 = 1.7320508075688772

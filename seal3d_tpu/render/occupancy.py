@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.ops.bitfield import GRID_CELLS, GRID_SIZE, packbits
-from seal3d_tpu.ops.morton import morton3d, morton3d_invert
+from seal3d_tpu.ops.morton import morton3d_invert
 
 
 class OccupancyState(NamedTuple):

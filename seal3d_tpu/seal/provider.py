@@ -10,8 +10,6 @@ SURVEY.md §5.10).
 
 from __future__ import annotations
 
-from dataclasses import replace as dc_replace
-
 import numpy as np
 
 from seal3d_tpu.data.provider import NeRFDataset, rand_poses

@@ -16,8 +16,6 @@ Equivalent of reference SealNeRF/renderer.py:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -24,15 +24,13 @@ import json
 import os
 import time
 from dataclasses import asdict, dataclass
-from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from seal3d_tpu.render.occupancy import occupancy_update
 from seal3d_tpu.render.renderer import RenderOptions, render_rays
 from seal3d_tpu.seal import geometry as geo
 from seal3d_tpu.seal.mappers import SealMapper, map_color, map_to_origin

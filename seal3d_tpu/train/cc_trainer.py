@@ -15,7 +15,6 @@ import optax
 from seal3d_tpu.models import ccnerf
 from seal3d_tpu.ops.composite import composite_dense
 from seal3d_tpu.ops.raymarch import near_far_from_aabb
-from seal3d_tpu.train.tensorf_trainer import tensorf_optimizer
 from seal3d_tpu.train.trainer import TrainConfig, Trainer
 
 

@@ -17,7 +17,7 @@ import numpy as np
 from seal3d_tpu.data.rays import get_rays
 from seal3d_tpu.models import dnerf
 from seal3d_tpu.parallel.mesh import shard_rays
-from seal3d_tpu.render.occupancy import OccupancyStateT, occupancy_t_init, occupancy_t_update
+from seal3d_tpu.render.occupancy import occupancy_t_init, occupancy_t_update
 from seal3d_tpu.render.renderer import render_rays, render_rays_dense
 from seal3d_tpu.train.trainer import TrainConfig, Trainer, TrainState
 import optax

@@ -13,10 +13,9 @@ the reference's LambdaLR 0.1 ** (step / max_steps) (main_nerf.py:133).
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, NamedTuple, Optional
 
