@@ -16,4 +16,5 @@ from seal3d_tpu.ops.trunc_exp import trunc_exp
 from seal3d_tpu.ops.freq import freq_encode
 from seal3d_tpu.ops.sh import sh_encode
 from seal3d_tpu.ops.hashgrid import HashGridConfig, hashgrid_init, hashgrid_encode
-from seal3d_tpu.ops.raymarch import near_far_from_aabb, sph_from_ray
+from seal3d_tpu.ops.raymarch import (march_rays, march_rays_grid,
+                                      near_far_from_aabb, sph_from_ray)

@@ -45,6 +45,8 @@ class RenderOptions:
     # 'flat': global-budget ray-contiguous buffer (scatter-based; exact
     #         analog of the reference's shared sample pool).
     compaction: str = "topk"
+    # occupancy tested at every s-th candidate (see march_rays_grid)
+    occ_stride: int = 2
 
     @cached_property
     def cascades(self) -> int:
@@ -92,7 +94,7 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
             bound=opts.bound, cascades=opts.cascades, dt_gamma=opts.dt_gamma,
             max_steps=opts.max_steps, k=opts.budget_per_ray,
             num_candidates=opts.num_candidates, perturb=jitter,
-            min_near=opts.min_near, aabb=aabb,
+            min_near=opts.min_near, aabb=aabb, occ_stride=opts.occ_stride,
         )
         k = opts.budget_per_ray
         sigma, rgb = field.apply(params, cfg, m.xyzs.reshape(-1, 3),

@@ -63,3 +63,27 @@ def test_mark_untrained_blocks_unseen_cells():
     coords = np.asarray(morton3d_invert(jnp.arange(GRID_CELLS, dtype=jnp.uint32)))
     center = (np.abs(coords - 63.5) < 8).all(-1)
     assert (np.asarray(occ.density_grid[0])[center] >= 0).all()
+
+
+def test_flat_compaction_matches_topk_path():
+    """render_rays with compaction='flat' (global scatter budget) must agree
+    with the default top-k path when neither is budget-limited."""
+    import dataclasses
+
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
+                           density_thresh=10.0, full=True)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
+                         budget_per_ray=256, num_candidates=256, min_near=0.05,
+                         occ_stride=1)
+    out_topk = render_rays(None, _SceneField, scene, occ.bitfield,
+                           rays["rays_o"], rays["rays_d"], base)
+    flat = dataclasses.replace(base, compaction="flat")
+    out_flat = render_rays(None, _SceneField, scene, occ.bitfield,
+                           rays["rays_o"], rays["rays_d"], flat)
+    np.testing.assert_allclose(np.asarray(out_topk["image"]),
+                               np.asarray(out_flat["image"]), atol=5e-3)
