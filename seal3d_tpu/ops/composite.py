@@ -11,6 +11,7 @@ the reference's hand-derived sigma backward (:662-667) for free.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -53,11 +54,29 @@ def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
     """
     m = sigmas.shape[0]
     sdelta = jnp.where(valid, sigmas * deltas, 0.0)
-    cum = jnp.cumsum(sdelta)
-    cum_excl = cum - sdelta
-    # Exclusive optical depth accumulated before each segment's start.
-    seg_start = jnp.take(cum_excl, jnp.clip(offsets, 0, m - 1))
-    trans = jnp.exp(-(cum_excl - jnp.take(seg_start, ray_id)))
+
+    # Compensated (TwoSum) prefix scan: a single fp32 cumsum over the whole
+    # [M] buffer can reach ~1e6-1e9 with post-trunc_exp densities, and the
+    # per-ray difference of two large rounded prefixes would lose the optical
+    # depth's low bits. Carrying a (hi, lo) residual pair through the scan and
+    # differencing hi and lo separately keeps the per-segment result accurate
+    # regardless of the global prefix magnitude.
+    def _comp_add(x, y):
+        s = x[0] + y[0]
+        z = s - x[0]
+        err = (x[0] - (s - z)) + (y[0] - z)
+        return s, err + x[1] + y[1]
+
+    cum_hi, cum_lo = jax.lax.associative_scan(
+        _comp_add, (sdelta, jnp.zeros_like(sdelta)))
+    off = jnp.clip(offsets, 0, m - 1)
+    hi_s = jnp.take(jnp.take(cum_hi, off), ray_id)
+    lo_s = jnp.take(jnp.take(cum_lo, off), ray_id)
+    sd_s = jnp.take(jnp.take(sdelta, off), ray_id)
+    # Exclusive in-segment optical depth: (inclusive prefix diff) - own sdelta
+    # + start's sdelta (the start sample's own contribution is excluded).
+    tau = (cum_hi - hi_s) + (cum_lo - lo_s) - sdelta + sd_s
+    trans = jnp.exp(-tau)
     alpha = 1.0 - jnp.exp(-sdelta)
     weights = jnp.where(valid, trans * alpha, 0.0)
 

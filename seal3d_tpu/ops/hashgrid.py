@@ -71,14 +71,24 @@ class HashGridConfig:
         )
 
     @cached_property
-    def level_params(self) -> Tuple[Tuple[int, int, int, bool], ...]:
-        """Per level: (resolution, offset, params_in_level, use_hash)."""
+    def level_params(self) -> Tuple[Tuple[int, int, int, bool, float], ...]:
+        """Per level: (resolution, offset, params_in_level, use_hash, scale).
+
+        `scale` is the FRACTIONAL interpolation scale base*g^l - 1 used by the
+        reference kernel (gridencoder.cu:138: exp2f(level*S)*H - 1); the
+        integer `resolution` (= ceil(scale)+1 entries per axis) only sizes the
+        dense table / clips corner coords. Using resolution-1 as the interp
+        scale would sample up to a full cell off vs reference checkpoints.
+        """
         out = []
         offset = 0
         hashmap_size = 2**self.log2_hashmap_size
         for lvl in range(self.num_levels):
-            scale = self.base_resolution * (self.per_level_scale**lvl)
-            resolution = int(math.ceil(scale)) + 1
+            scale = self.base_resolution * (self.per_level_scale**lvl) - 1.0
+            # Entries per axis: the reference's ceil(scale)+1 grid resolution
+            # plus one extra entry when corners are not aligned
+            # (gridencoder.cu:74: stride *= align_corners ? res : res+1).
+            resolution = int(math.ceil(scale)) + (1 if self.align_corners else 2)
             dense_size = resolution**self.input_dim
             # Align each level's block to 8 entries (matches reference layout
             # logic in gridencoder/grid.py). The pallas backend pads every
@@ -88,13 +98,13 @@ class HashGridConfig:
             else:
                 params_in_level = min(((dense_size + 7) // 8) * 8, hashmap_size)
             use_hash = self.gridtype == "hash" and dense_size > hashmap_size
-            out.append((resolution, offset, params_in_level, use_hash))
+            out.append((resolution, offset, params_in_level, use_hash, scale))
             offset += params_in_level
         return tuple(out)
 
     @cached_property
     def total_params(self) -> int:
-        res, off, n, _ = self.level_params[-1]
+        res, off, n, _, _ = self.level_params[-1]
         return off + n
 
     @cached_property
@@ -143,8 +153,14 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
     Returns:
       [..., L * F] features (level-major, matching reference output layout
       after its [L,B,C]->[B,L*C] permute, gridencoder/grid.py:47-57).
+
+    The feature width is taken from `table.shape[-1]`, which may exceed
+    cfg.level_dim: `hashgrid_encode_stacked` fuses several same-config tables
+    (e.g. NGP's sigma + color encoders, which share every corner index) into
+    one widened gather.
     """
     dim = cfg.input_dim
+    f_dim = table.shape[-1]
     batch_shape = x.shape[:-1]
     xf = x.reshape(-1, dim).astype(jnp.float32)
     m = xf.shape[0]
@@ -155,23 +171,20 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
 
         t = 2**cfg.log2_hashmap_size
         rows = max(t // 128, 1)
-        stack = table.reshape(cfg.num_levels, rows, 128, cfg.level_dim)
+        stack = table.reshape(cfg.num_levels, rows, 128, f_dim)
         stack = stack.transpose(0, 3, 1, 2)  # [L, F, R, 128]
         out = hash_encode_fused(stack, xf, cfg)
-        return out.reshape(*batch_shape, cfg.output_dim)
+        return out.reshape(*batch_shape, cfg.num_levels * f_dim)
 
     corners = jnp.asarray(_corner_offsets(dim), dtype=jnp.int32)  # [2^dim, dim]
     n_corners = 2**dim
 
     all_idx = []
     all_w = []
-    for resolution, offset, params_in_level, use_hash in cfg.level_params:
-        if cfg.align_corners:
-            scale = resolution - 1
-            pos = xf * scale
-        else:
-            scale = resolution - 1
-            pos = xf * scale + 0.5
+    for resolution, offset, params_in_level, use_hash, scale in cfg.level_params:
+        # Fractional interp scale (base*g^l - 1), NOT resolution-1 — matches
+        # the reference kernel exactly (gridencoder.cu:138,148).
+        pos = xf * scale + (0.0 if cfg.align_corners else 0.5)
         # Guard inputs slightly outside [0,1]; at the top edge frac becomes 0 so
         # the (clipped) +1 corner gets zero weight.
         pos = jnp.clip(pos, 0.0, float(resolution - 1))
@@ -196,28 +209,56 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
         assert t % (128 * 128) == 0 or t <= 128 * 128, t
         rows = max(t // 128, 1)
         # flat [L*T, F] -> [L, F, R, 128]; level-local indices (drop offsets)
-        stack = table.reshape(cfg.num_levels, rows, 128, cfg.level_dim)
+        stack = table.reshape(cfg.num_levels, rows, 128, f_dim)
         stack = stack.transpose(0, 3, 1, 2)
-        offsets = jnp.asarray([off for _, off, _, _ in cfg.level_params],
+        offsets = jnp.asarray([off for _, off, _, _, _ in cfg.level_params],
                               jnp.int32)
         idx_local = (idx - offsets[None, :, None]).transpose(1, 0, 2).reshape(
             cfg.num_levels, m * n_corners)
         vals = multilevel_lookup(stack, idx_local)  # [L, M*2^dim, F]
-        feats = vals.reshape(cfg.num_levels, m, n_corners, cfg.level_dim)
+        feats = vals.reshape(cfg.num_levels, m, n_corners, f_dim)
         out = (feats * w.transpose(1, 0, 2)[..., None]).sum(axis=2)  # [L, M, F]
         out = out.transpose(1, 0, 2)
     else:
         feats = jnp.take(table, idx.reshape(m, -1), axis=0).reshape(
-            m, cfg.num_levels, n_corners, cfg.level_dim
+            m, cfg.num_levels, n_corners, f_dim
         )
         out = (feats * w[..., None]).sum(axis=2)  # [M, L, F]
-    return out.reshape(*batch_shape, cfg.output_dim)
+    return out.reshape(*batch_shape, cfg.num_levels * f_dim)
+
+
+def hashgrid_encode_stacked(tables, x: jnp.ndarray, cfg: HashGridConfig):
+    """Encode through several SAME-CONFIG tables with one fused gather.
+
+    NGP's sigma and color hash grids (reference nerf/network.py:32,56) share
+    every corner index and interpolation weight for a given x — gathering a
+    feature-concatenated table halves the index math / lookup count, and on
+    the Pallas backend widens the per-mask matmul (better MXU utilization).
+
+    Args:
+      tables: sequence of [total_params, F_i] tables.
+      x: [..., input_dim] positions in [0, 1].
+    Returns:
+      list of [..., L * F_i] feature arrays, one per input table.
+    """
+    widths = [t.shape[-1] for t in tables]
+    fused = jnp.concatenate(tables, axis=-1)
+    out = hashgrid_encode(fused, x, cfg)  # [..., L * sum(F)]
+    f_total = sum(widths)
+    out = out.reshape(*out.shape[:-1], cfg.num_levels, f_total)
+    parts = []
+    start = 0
+    for f in widths:
+        part = out[..., start:start + f]
+        parts.append(part.reshape(*part.shape[:-2], cfg.num_levels * f))
+        start += f
+    return parts
 
 
 def hashgrid_tv_loss(table: jnp.ndarray, cfg: HashGridConfig, level: int = 0) -> jnp.ndarray:
     """Total-variation regularizer on one dense level (differentiable analog of
     reference grad_total_variation, gridencoder.cu:503-642)."""
-    resolution, offset, params_in_level, use_hash = cfg.level_params[level]
+    resolution, offset, params_in_level, use_hash, _ = cfg.level_params[level]
     if use_hash:
         raise ValueError("TV loss only defined on dense (tiled) levels")
     n = resolution**cfg.input_dim

@@ -42,8 +42,10 @@ def _interpret() -> bool:
 
 def _level_const_arrays(cfg):
     scales, resolutions, use_hash = [], [], []
-    for resolution, _off, _n, uh in cfg.level_params:
-        scales.append(float(resolution - 1))
+    for resolution, _off, _n, uh, scale in cfg.level_params:
+        # Fractional interp scale base*g^l - 1 (gridencoder.cu:138), not the
+        # integer entries-per-axis count.
+        scales.append(float(scale))
         resolutions.append(resolution)
         use_hash.append(1 if uh else 0)
     return (np.asarray(scales, np.float32), np.asarray(resolutions, np.int32),

@@ -131,7 +131,9 @@ def occupancy_update(
     decayed = jnp.where(written, jnp.maximum(grid * decay, new_vals), grid)
     grid = jnp.where(trained, decayed, grid)
 
-    mean_density = jnp.where(trained, grid, 0.0).sum() / jnp.maximum(trained.sum(), 1)
+    # clamp(grid,0).mean() over ALL cells (reference nerf/renderer.py:527) —
+    # averaging over trained cells only would raise the mean and over-cull.
+    mean_density = jnp.maximum(grid, 0.0).mean()
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = packbits(grid, thresh)
     # world AABB of occupied coarsest-cascade cells: tightens per-ray
@@ -272,8 +274,7 @@ def occupancy_t_update(state: OccupancyStateT, density_fn, key: jax.Array,
         return (grid, key), None
 
     (grid, key), _ = jax.lax.scan(refresh_slice, (grid, key), t_indices)
-    trained = grid >= 0.0
-    mean_density = jnp.where(trained, grid, 0.0).sum() / jnp.maximum(trained.sum(), 1)
+    mean_density = jnp.maximum(grid, 0.0).mean()
     thresh = jnp.minimum(mean_density, density_thresh)
     bitfield = jax.vmap(lambda g: packbits(g, thresh))(grid)
     return OccupancyStateT(density_grid=grid, bitfield=bitfield,

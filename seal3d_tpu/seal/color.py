@@ -72,13 +72,23 @@ def modify_hsv(rgb: jnp.ndarray, mod: jnp.ndarray) -> jnp.ndarray:
 
 
 def modify_rgb(rgb: jnp.ndarray, target_rgb: jnp.ndarray,
-               light_offset: float = 0.0) -> jnp.ndarray:
+               light_offset: float = 0.0, mask: jnp.ndarray = None) -> jnp.ndarray:
     """Recolor keeping per-point lightness variation around the mean
     (reference modify_rgb, seal_utils.py:753-769: H,S from the target color,
-    V = target V + (point V - mean V) + offset)."""
+    V = target V + (point V - mean V) + offset).
+
+    `mask` (bool [...]) restricts the V mean to edit-region samples: the
+    reference computes the mean over a gathered edit-region subset only
+    (SealNeRF/renderer.py:316), whereas this vectorized version sees the whole
+    batch — an unmasked mean would drift with render chunk contents."""
     hsv = rgb_to_hsv(rgb)
     target = rgb_to_hsv(jnp.broadcast_to(jnp.asarray(target_rgb), rgb.shape))
-    v_offset = hsv[..., 2] - hsv[..., 2].mean()
+    if mask is None:
+        v_mean = hsv[..., 2].mean()
+    else:
+        m = mask.astype(hsv.dtype)
+        v_mean = (hsv[..., 2] * m).sum() / jnp.maximum(m.sum(), 1.0)
+    v_offset = hsv[..., 2] - v_mean
     v = jnp.clip(target[..., 2] + v_offset + light_offset, 0.0, 1.0)
     out = jnp.stack([target[..., 0], target[..., 1], v], axis=-1)
     return jnp.clip(hsv_to_rgb(out), 0.0, 1.0)

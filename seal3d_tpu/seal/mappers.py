@@ -398,15 +398,17 @@ def map_to_origin(mapper: SealMapper, points: jnp.ndarray,
 
 
 def map_color(mapper: SealMapper, points: jnp.ndarray, dirs: jnp.ndarray,
-              colors: jnp.ndarray) -> jnp.ndarray:
+              colors: jnp.ndarray, mask: jnp.ndarray = None) -> jnp.ndarray:
     """Color/texture modification of edit-region samples
-    (reference SealMapper.map_color:48-81)."""
+    (reference SealMapper.map_color:48-81). `mask` marks the edit-region
+    samples so batch statistics (modify_rgb's V mean) ignore non-edit ones —
+    the reference only ever sees the gathered edit subset here."""
     d = mapper.data
     out = colors
     if "hsv" in mapper.flags:
         out = modify_hsv(out, d["hsv"])
     if "rgb" in mapper.flags:
-        out = modify_rgb(out, d["rgb"], d["rgb_light_offset"])
+        out = modify_rgb(out, d["rgb"], d["rgb_light_offset"], mask=mask)
     if "image" in mapper.flags:
         img = d["image"]
         hh, ww = img.shape[0], img.shape[1]
@@ -420,6 +422,6 @@ def map_color(mapper: SealMapper, points: jnp.ndarray, dirs: jnp.ndarray,
                       0, hh - 1).astype(jnp.int32)
         texel = img[ih, iw]
         alpha = d["image_mask"][ih, iw][:, None]
-        textured = modify_rgb(out, texel, d["rgb_light_offset"])
+        textured = modify_rgb(out, texel, d["rgb_light_offset"], mask=mask)
         out = alpha * textured + (1 - alpha) * out
     return out

@@ -42,7 +42,7 @@ def make_teacher_field(base_field, mapper: SealMapper, base_cfg,
                 s2, r2 = secondary_field.apply(secondary_params, secondary_cfg, xm, dm)
                 sigma = jnp.where(mask, s2, sigma)
                 rgb = jnp.where(mask[:, None], r2, rgb)
-            rgb_mod = map_color(mapper, xm, dm, rgb)
+            rgb_mod = map_color(mapper, xm, dm, rgb, mask=mask)
             rgb = jnp.where(mask[:, None], rgb_mod, rgb)
             return sigma, rgb
 
@@ -64,7 +64,7 @@ def make_teacher_field(base_field, mapper: SealMapper, base_cfg,
             if dm is None:
                 dm = d
             rgb = base_field.color(params, cfg, xm, dm, geo_feat)
-            rgb_mod = map_color(mapper, xm, dm, rgb)
+            rgb_mod = map_color(mapper, xm, dm, rgb, mask=mask)
             return jnp.where(mask[:, None], rgb_mod, rgb)
 
         background = getattr(base_field, "background", None)

@@ -68,7 +68,13 @@ class DNeRFTrainer(Trainer):
             per_ray = ((out["image"] - batch["gt"]) ** 2).mean(-1)
             loss = per_ray.mean()
             if self.deform_reg > 0 and fcfg.variant == "deform":
-                dx = dnerf.deformation(params, fcfg, batch["rays_o"], batch["time"])
+                # Regularize at marched surface points (rays_o + depth*rays_d),
+                # not camera origins — the reference penalizes the deformation
+                # at sampled xyzs (dnerf/utils.py deform reg), and all rays of
+                # a view share one origin where the field is never queried.
+                xs = batch["rays_o"] + jax.lax.stop_gradient(
+                    out["depth"])[:, None] * batch["rays_d"]
+                dx = dnerf.deformation(params, fcfg, xs, batch["time"])
                 loss = loss + self.deform_reg * jnp.abs(dx).mean()
             return loss, out
 

@@ -213,7 +213,7 @@ def test_seal_bbox_edit_e2e(tmp_path):
     student.init_state()
     student.state = student.state._replace(
         params=jax.tree.map(jnp.copy, teacher.state.params))
-    pcfg = PretrainConfig(epochs=25, batch_size=32768, lr=0.05,
+    pcfg = PretrainConfig(epochs=40, batch_size=32768, lr=0.05,
                           local_point_step=0.02, local_angle_step=90,
                           surrounding_point_step=0.04,
                           global_point_step=0.15)
