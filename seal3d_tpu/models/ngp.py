@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.models.mlp import mlp_apply, mlp_init
-from seal3d_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, hashgrid_init
+from seal3d_tpu.ops.hashgrid import (HashGridConfig, hashgrid_encode,
+                                     hashgrid_encode_stacked, hashgrid_init)
 from seal3d_tpu.ops.sh import sh_encode, sh_encode_dim
 from seal3d_tpu.ops.trunc_exp import trunc_exp
 
@@ -111,9 +112,19 @@ def color(params, cfg: NGPConfig, x: jnp.ndarray, d: jnp.ndarray, geo_feat: jnp.
 
 
 def apply(params, cfg: NGPConfig, x: jnp.ndarray, d: jnp.ndarray):
-    out = density(params, cfg, x)
-    rgb = color(params, cfg, x, d, out["geo_feat"])
-    return out["sigma"], rgb
+    # The sigma and color hash grids share identical configs, hence identical
+    # corner indices for the same x — one stacked gather serves both (halves
+    # the dominant lookup cost vs calling density() + color()).
+    feat, c_enc = hashgrid_encode_stacked(
+        (params["encoder"], params["encoder_color"]),
+        _normalize(x, cfg.bound), cfg.grid)
+    h = mlp_apply(params["sigma_net"], feat)
+    sigma = trunc_exp(h[..., 0])
+    geo_feat = h[..., 1:]
+    d_enc = sh_encode(d, cfg.sh_degree)
+    hc = jnp.concatenate([d_enc, geo_feat, c_enc], axis=-1)
+    rgb = jax.nn.sigmoid(mlp_apply(params["color_net"], hc))
+    return sigma, rgb
 
 
 def background(params, cfg: NGPConfig, sph: jnp.ndarray, d: jnp.ndarray):

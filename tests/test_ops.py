@@ -226,8 +226,8 @@ def test_hashgrid_pallas_backend_matches_xla():
     t = 2**14
     # xla table with per-level offsets mapped into padded layout
     parts = []
-    for (res, off, n, uh), (res2, off2, n2, uh2) in zip(cfg_x.level_params,
-                                                        cfg_p.level_params):
+    for (res, off, n, uh, _), (res2, off2, n2, uh2, _) in zip(
+            cfg_x.level_params, cfg_p.level_params):
         parts.append(table_p[off2 : off2 + n])
     table_x = jnp.concatenate(parts)
 
@@ -292,3 +292,87 @@ def test_occ_aabb_tracks_occupied_region():
     aabb = np.asarray(occ.occ_aabb)
     np.testing.assert_allclose(aabb[:3], [0.1, -0.2, -0.4], atol=0.06)
     np.testing.assert_allclose(aabb[3:], [0.5, 0.2, 0.0], atol=0.06)
+
+
+def test_hashgrid_matches_reference_kernel_oracle():
+    """Exact-semantics oracle of the reference CUDA kernel
+    (gridencoder.cu:67-84 get_grid_index, :138 fractional scale, :148 +0.5
+    offset): per-level scale must be base*g^l - 1, NOT resolution-1, and
+    dense strides use resolution+1 entries per axis (align_corners=False)."""
+    from seal3d_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, hashgrid_init
+
+    cfg = HashGridConfig(num_levels=4, level_dim=2, base_resolution=4,
+                         desired_resolution=32, log2_hashmap_size=7)
+    table = np.asarray(hashgrid_init(jax.random.PRNGKey(0), cfg, std=0.5))
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(1), (17, 3)))
+    primes = (1, 2654435761, 805459861)
+
+    S = np.log2(cfg.per_level_scale)
+    H = cfg.base_resolution
+    ref = np.zeros((x.shape[0], cfg.num_levels * cfg.level_dim))
+    offset = 0
+    for lvl in range(cfg.num_levels):
+        scale = np.exp2(lvl * S) * H - 1.0
+        resolution = int(np.ceil(scale)) + 1
+        params = min(2**cfg.log2_hashmap_size, (resolution + 1) ** 3)
+        params = int(np.ceil(params / 8) * 8)
+        for bi in range(x.shape[0]):
+            pos = x[bi] * scale + 0.5
+            pg = np.floor(pos).astype(np.int64)
+            f = pos - pg
+            acc = np.zeros(cfg.level_dim)
+            for c in range(8):
+                off = np.array([(c >> d) & 1 for d in range(3)])
+                w = np.prod(np.where(off == 1, f, 1 - f))
+                cp = pg + off
+                stride, index = 1, 0
+                for d in range(3):
+                    if stride > params:
+                        break
+                    index += int(cp[d]) * stride
+                    stride *= resolution + 1
+                if stride > params:
+                    h = 0
+                    for d in range(3):
+                        h ^= (int(cp[d]) * primes[d]) & 0xFFFFFFFF
+                    index = h & 0xFFFFFFFF
+                acc += w * table[(index % params) + offset]
+            ref[bi, lvl * cfg.level_dim:(lvl + 1) * cfg.level_dim] = acc
+        offset += params
+
+    got = np.asarray(hashgrid_encode(jnp.asarray(table), jnp.asarray(x), cfg))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_stacked_encode_matches_separate():
+    """hashgrid_encode_stacked must equal two independent encodes (both
+    backends route through it via models/ngp.apply)."""
+    from seal3d_tpu.ops.hashgrid import (HashGridConfig, hashgrid_encode,
+                                         hashgrid_encode_stacked, hashgrid_init)
+
+    cfg = HashGridConfig(num_levels=3, level_dim=2, base_resolution=4,
+                         desired_resolution=32, log2_hashmap_size=8)
+    t1 = hashgrid_init(jax.random.PRNGKey(0), cfg, std=0.5)
+    t2 = hashgrid_init(jax.random.PRNGKey(1), cfg, std=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (33, 3))
+    a, b = hashgrid_encode_stacked((t1, t2), x, cfg)
+    np.testing.assert_allclose(a, hashgrid_encode(t1, x, cfg), atol=1e-6)
+    np.testing.assert_allclose(b, hashgrid_encode(t2, x, cfg), atol=1e-6)
+
+
+def test_ngp_apply_matches_density_color():
+    """The fused-gather apply must equal the density()+color() composition."""
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+
+    for backend in ("xla", "pallas"):
+        cfg = NGPConfig(bound=1.0, log2_hashmap_size=14, grid_backend=backend)
+        params = ngp.init(jax.random.PRNGKey(0), cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (40, 3)) * 1.6 - 0.8
+        d = jax.random.normal(jax.random.PRNGKey(2), (40, 3))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        s1, c1 = ngp.apply(params, cfg, x, d)
+        out = ngp.density(params, cfg, x)
+        c2 = ngp.color(params, cfg, x, d, out["geo_feat"])
+        np.testing.assert_allclose(s1, out["sigma"], rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(c1, c2, rtol=2e-5, atol=1e-5)
