@@ -42,7 +42,9 @@ def main():
     if not args.test:
         tr.train(steps=args.iters)
         tr.save_checkpoint()
-        print(f"[eval] PSNR {tr.evaluate(max_views=2):.2f}")
+        val_ds = load_dataset(args, "val")
+        print(f"[eval] PSNR {tr.evaluate(dataset=val_ds):.2f} "
+              f"over {len(val_ds)} val views")
 
     if args.compress:
         tr.state = tr.state._replace(
@@ -64,16 +66,15 @@ def main():
         print(f"[compose] scene with {1 + len(args.compose)} objects")
 
     out_dir = os.path.join(tcfg.workspace, "results")
-    os.makedirs(out_dir, exist_ok=True)
-    import imageio
-
     test_ds = load_dataset(args, "test")
-    for vi in range(min(len(test_ds), 4)):
-        img, _ = tr.render_image(test_ds.poses[vi], test_ds.h, test_ds.w,
-                                 use_ema=False)
-        imageio.imwrite(os.path.join(out_dir, f"ccnerf_{vi:04d}_rgb.png"),
-                        (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
-    print(f"[test] wrote results to {out_dir}")
+    from seal3d_tpu.train.video import write_test_outputs
+
+    written = write_test_outputs(
+        lambda vi: tr.render_image(test_ds.poses[vi], test_ds.h, test_ds.w,
+                                   use_ema=False),
+        len(test_ds), out_dir, "ccnerf")
+    print(f"[test] wrote {len(test_ds)} views to {out_dir} "
+          f"(video: {written['video']})")
 
 
 if __name__ == "__main__":

@@ -6,8 +6,6 @@ schedule, render results."""
 import os
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 from seal3d_tpu.config import (build_options, build_train_config,
                                common_parser, grid_defaults, load_dataset)
@@ -116,17 +114,16 @@ def run_seal(args, field_mod, fcfg, make_trainer, name):
           f"(proxy {timer['proxy_dataset']:.1f}s)")
     student.save_checkpoint()
 
-    # ---- results
+    # ---- results (edited-scene test video, reference nerf/utils.py:682-686)
     out_dir = os.path.join(tcfg.workspace, "results")
-    os.makedirs(out_dir, exist_ok=True)
-    import imageio
+    from seal3d_tpu.train.video import write_test_outputs
 
     test_ds = load_dataset(args, "test")
-    for vi in range(min(len(test_ds), 8)):
-        img, _ = student.render_image(test_ds.poses[vi], test_ds.h, test_ds.w)
-        imageio.imwrite(os.path.join(out_dir, f"{name}_{vi:04d}_rgb.png"),
-                        (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
-    print(f"[test] wrote edited views to {out_dir}")
+    written = write_test_outputs(
+        lambda vi: student.render_image(test_ds.poses[vi], test_ds.h, test_ds.w),
+        len(test_ds), out_dir, name)
+    print(f"[test] wrote {len(test_ds)} edited views to {out_dir} "
+          f"(video: {written['video']})")
 
     if args.save_mesh:
         from seal3d_tpu.runtime.mesh_export import extract_geometry, save_mesh

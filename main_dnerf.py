@@ -38,21 +38,22 @@ def main():
     if not args.test:
         tr.train(steps=args.iters, blocked=not args.dense_render)
         tr.save_checkpoint()
-        print(f"[eval] PSNR {tr.evaluate(max_views=4):.2f}")
+        val_ds = load_dataset(args, "val")
+        print(f"[eval] PSNR {tr.evaluate(dataset=val_ds):.2f} "
+              f"over {len(val_ds)} val views")
 
     test_ds = load_dataset(args, "test")
     times = (test_ds.times if test_ds.times is not None
              else np.linspace(0, 1, len(test_ds)))
     out_dir = os.path.join(tcfg.workspace, "results")
-    os.makedirs(out_dir, exist_ok=True)
-    import imageio
+    from seal3d_tpu.train.video import write_test_outputs
 
-    for vi in range(min(len(test_ds), 8)):
-        img, _ = tr.render_image_t(test_ds.poses[vi], test_ds.h, test_ds.w,
-                                   float(times[vi]))
-        imageio.imwrite(os.path.join(out_dir, f"dnerf_{vi:04d}_rgb.png"),
-                        (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
-    print(f"[test] wrote results to {out_dir}")
+    written = write_test_outputs(
+        lambda vi: tr.render_image_t(test_ds.poses[vi], test_ds.h, test_ds.w,
+                                     float(times[vi])),
+        len(test_ds), out_dir, "dnerf")
+    print(f"[test] wrote {len(test_ds)} views to {out_dir} "
+          f"(video: {written['video']})")
 
 
 if __name__ == "__main__":

@@ -3,7 +3,6 @@
 import os
 
 import jax
-import numpy as np
 
 from seal3d_tpu.config import (build_options, build_train_config,
                                common_parser, grid_defaults, load_dataset)
@@ -53,25 +52,21 @@ def main():
     if not args.test:
         tr.train(steps=args.iters, blocked=not args.dense_render)
         tr.save_checkpoint()
-        psnr = tr.evaluate(max_views=4)
-        print(f"[eval] PSNR {psnr:.2f}")
+        val_ds = load_dataset(args, "val")
+        psnr = tr.evaluate(dataset=val_ds)  # full split (nerf/utils.py:905-1013)
+        print(f"[eval] PSNR {psnr:.2f} over {len(val_ds)} val views")
 
     test_ds = load_dataset(args, "test")
-    tr.attach_dataset(test_ds) if args.test else None
+    if args.test:
+        tr.attach_dataset(test_ds)
     out_dir = os.path.join(tcfg.workspace, "results")
-    os.makedirs(out_dir, exist_ok=True)
-    import imageio
+    from seal3d_tpu.train.video import write_test_outputs
 
-    frames = []
-    for vi in range(min(len(test_ds), 16)):
-        img, _ = tr.render_image(test_ds.poses[vi], test_ds.h, test_ds.w)
-        frames.append((np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
-        imageio.imwrite(os.path.join(out_dir, f"ngp_{vi:04d}_rgb.png"), frames[-1])
-    try:
-        imageio.mimwrite(os.path.join(out_dir, "ngp_rgb.mp4"), frames, fps=12)
-    except Exception:
-        pass
-    print(f"[test] wrote {len(frames)} views to {out_dir}")
+    written = write_test_outputs(
+        lambda vi: tr.render_image(test_ds.poses[vi], test_ds.h, test_ds.w),
+        len(test_ds), out_dir, "ngp")
+    print(f"[test] wrote {len(test_ds)} views to {out_dir} "
+          f"(video: {written['video']})")
 
     if args.save_mesh:
         from seal3d_tpu.runtime.mesh_export import extract_geometry, save_mesh

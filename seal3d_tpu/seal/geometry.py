@@ -85,6 +85,19 @@ def box_mesh_from_aabb(bound: np.ndarray):
     return verts, _BOX_FACES.copy()
 
 
+def voxel_cluster_indices(points: np.ndarray, simplify_voxel: int = 16) -> np.ndarray:
+    """Indices of one representative point per occupied voxel (the voxel
+    grid spans the cloud's AABB at `simplify_voxel` cells along the longest
+    axis — the simplification analog of the reference's o3d
+    simplify_vertex_clustering, seal_utils.py:614-620)."""
+    pts = np.asarray(points, np.float64)
+    lo, hi = pts.min(0), pts.max(0)
+    voxel = max(float((hi - lo).max()), 1e-6) / simplify_voxel
+    keys = np.floor((pts - lo) / voxel).astype(np.int64)
+    _, idx = np.unique(keys, axis=0, return_index=True)
+    return np.sort(idx)
+
+
 def voxel_cluster_surface(points: np.ndarray, normal: np.ndarray,
                           growth=(-0.3, 1.0), simplify_voxel: int = 16):
     """Simplified double-sheet prism over a painted surface patch.
@@ -95,14 +108,36 @@ def voxel_cluster_surface(points: np.ndarray, normal: np.ndarray,
     is used only for debug export; containment of curve brushes is evaluated
     parametrically (see mappers.brush_contains)."""
     pts = np.asarray(points, np.float64)
-    lo, hi = pts.min(0), pts.max(0)
-    voxel = max(float((hi - lo).max()), 1e-6) / simplify_voxel
-    keys = np.floor((pts - lo) / voxel).astype(np.int64)
-    _, idx = np.unique(keys, axis=0, return_index=True)
-    reps = pts[np.sort(idx)]
+    idx = voxel_cluster_indices(pts, simplify_voxel)
+    reps = pts[idx]
     n = np.asarray(normal, np.float64)
     verts = np.concatenate([reps + n * growth[0], reps + n * growth[1]])
     return reps.astype(np.float32), verts.astype(np.float32)
+
+
+def knn_point_normals(points: np.ndarray, k: int = 12,
+                      orient: np.ndarray = None) -> np.ndarray:
+    """Per-point surface normals from local kNN plane fits.
+
+    The curved-stroke analog of the reference's kNN trimesh fit
+    (get_trimesh_fit, seal_utils.py:591-613): instead of meshing the
+    neighborhoods, each point keeps the normal of its local plane so the
+    stroke sheet can follow curved geometry. `orient` flips normals to a
+    consistent hemisphere (the camera-facing side)."""
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    k = min(k, n)
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    nbr = np.argsort(d2, axis=1)[:, :k]
+    normals = np.empty((n, 3), np.float32)
+    for i in range(n):
+        nrm, _ = plane_fit(pts[nbr[i]])
+        normals[i] = nrm
+    if orient is not None:
+        o = np.asarray(orient, np.float64)
+        flip = normals @ o < 0
+        normals[flip] *= -1
+    return normals
 
 
 def export_obj(path: str, verts: np.ndarray, faces: np.ndarray = None):

@@ -180,9 +180,11 @@ def _build_brush(config: dict, workspace: Optional[str]) -> SealMapper:
     pressure = float(config["brushPressure"])
     depth = float(config["brushDepth"])
 
-    all_reps, bounds_list = [], []
+    simplify_voxel = int(config.get("simplifyVoxel", 16))
+    all_reps, all_rep_normals, bounds_list = [], [], []
     normal_expand = None
     plane_center = None
+    any_curve = False
     for pts, btype in zip(strokes, brush_type):
         pts = np.asarray(pts, np.float32)
         normal, center = geo.plane_fit(pts)
@@ -190,31 +192,54 @@ def _build_brush(config: dict, workspace: Optional[str]) -> SealMapper:
             normal = -normal
         normal_expand = normal * pressure
         plane_center = center
-        proj = np.asarray(geo.project_points(jnp.asarray(normal),
-                                             jnp.asarray(center), jnp.asarray(pts)))
-        reps, sheet_verts = geo.voxel_cluster_surface(
-            proj, normal_expand, growth=(-depth, 2.0),
-            simplify_voxel=int(config.get("simplifyVoxel", 16)))
+        if btype == "curve":
+            # Curved stroke: the sheet follows the painted surface via
+            # per-point kNN normals (reference fits a kNN trimesh instead,
+            # get_trimesh_fit, seal_utils.py:591-627).
+            any_curve = True
+            pt_normals = geo.knn_point_normals(pts, k=12, orient=normal)
+            idx = geo.voxel_cluster_indices(pts, simplify_voxel)
+            reps = pts[idx]
+            all_rep_normals.append(pt_normals[idx])
+            ext = np.concatenate([pts + 2 * pressure * pt_normals,
+                                  pts - depth * pressure * pt_normals])
+            if workspace:
+                os.makedirs(workspace, exist_ok=True)
+                sheet = np.concatenate([reps - depth * pressure * pt_normals[idx],
+                                        reps + 2 * pressure * pt_normals[idx]])
+                geo.export_ply_points(os.path.join(workspace, "to.ply"), sheet)
+        else:
+            proj = np.asarray(geo.project_points(jnp.asarray(normal),
+                                                 jnp.asarray(center), jnp.asarray(pts)))
+            reps, sheet_verts = geo.voxel_cluster_surface(
+                proj, normal_expand, growth=(-depth, 2.0),
+                simplify_voxel=simplify_voxel)
+            all_rep_normals.append(np.tile(normal[None], (len(reps), 1)))
+            ext = np.concatenate([pts + 2 * normal_expand, pts - depth * normal_expand])
+            if workspace:
+                os.makedirs(workspace, exist_ok=True)
+                geo.export_ply_points(os.path.join(workspace, "to.ply"), sheet_verts)
         all_reps.append(reps)
-        ext = np.concatenate([pts + 2 * normal_expand, pts - depth * normal_expand])
         bounds_list.append(geo.aabb_of(ext))
-        if workspace:
-            os.makedirs(workspace, exist_ok=True)
-            geo.export_ply_points(os.path.join(workspace, "to.ply"), sheet_verts)
 
     reps = np.concatenate(all_reps)
+    rep_normals = np.concatenate(all_rep_normals)
     # Lateral reach of the stroke: cluster spacing (conservative 1.5x voxel).
     span = reps.max(0) - reps.min(0)
-    lateral_margin = 1.5 * max(float(span.max()), 1e-4) / int(config.get("simplifyVoxel", 16))
+    lateral_margin = 1.5 * max(float(span.max()), 1e-4) / simplify_voxel
 
     # Border points for attenuation: 2D convex hull of the projected stroke,
     # edge-resampled (replaces mesh_surface_points_mask, seal_utils.py:692-698).
-    border = _hull_border_points(reps, normal_expand)
+    # Curve strokes keep the hull points at their true 3D positions so border
+    # distances follow the curved sheet.
+    border = _hull_border_points(reps, normal_expand, planar=not any_curve)
 
     bounds = np.stack(bounds_list)  # [B, 2, 3]
     data = {
         "map_bound": jnp.asarray(bounds),
         "reps": jnp.asarray(reps),
+        "rep_normals": jnp.asarray(rep_normals),
+        "pressure": jnp.asarray(pressure, jnp.float32),
         "lateral_margin": jnp.asarray(lateral_margin, jnp.float32),
         "normal_expand": jnp.asarray(normal_expand),
         "plane_center": jnp.asarray(plane_center),
@@ -224,7 +249,8 @@ def _build_brush(config: dict, workspace: Optional[str]) -> SealMapper:
         "depth": jnp.asarray(depth, jnp.float32),
     }
     return SealMapper(
-        kind="brush", data=data, flags=frozenset(),
+        kind="brush", data=data,
+        flags=frozenset({"curve"} if any_curve else set()),
         attenuation_mode=config["attenuationMode"],
         force_fill_bound=bounds, map_bound=bounds,
         pose_center=reps.mean(0),
@@ -233,7 +259,14 @@ def _build_brush(config: dict, workspace: Optional[str]) -> SealMapper:
     )
 
 
-def _hull_border_points(reps: np.ndarray, normal: np.ndarray, samples_per_edge: int = 8):
+def _hull_border_points(reps: np.ndarray, normal: np.ndarray,
+                        samples_per_edge: int = 8, planar: bool = True):
+    """Stroke-border samples for attenuation distances.
+
+    planar=True returns points on the fitted plane (line brushes);
+    planar=False keeps the hull vertices at their original 3D positions and
+    resamples edges between them (curve brushes — the border then lives on
+    the curved sheet)."""
     n = normal / (np.linalg.norm(normal) + 1e-12)
     # plane basis
     a = np.array([1.0, 0, 0]) if abs(n[0]) < 0.9 else np.array([0, 1.0, 0])
@@ -246,17 +279,20 @@ def _hull_border_points(reps: np.ndarray, normal: np.ndarray, samples_per_edge: 
         from scipy.spatial import ConvexHull
 
         hull = ConvexHull(uv)
-        hull_pts = uv[hull.vertices]
+        hull_idx = hull.vertices
     except Exception:
-        hull_pts = uv
+        hull_idx = np.arange(len(uv))
     # resample along hull edges
+    src = uv[hull_idx] if planar else reps[hull_idx]
     out = []
-    hp = np.concatenate([hull_pts, hull_pts[:1]])
-    for i in range(len(hull_pts)):
+    hp = np.concatenate([src, src[:1]])
+    for i in range(len(src)):
         for t in np.linspace(0, 1, samples_per_edge, endpoint=False):
             out.append(hp[i] * (1 - t) + hp[i + 1] * t)
     out = np.asarray(out, np.float32)
-    return (origin[None] + out @ np.stack([u, v])).astype(np.float32)
+    if planar:
+        out = origin[None] + out @ np.stack([u, v])
+    return out.astype(np.float32)
 
 
 def _build_anchor(config: dict, workspace: Optional[str]) -> SealMapper:
@@ -328,11 +364,33 @@ def map_mask(mapper: SealMapper, points: jnp.ndarray) -> jnp.ndarray:
     return m
 
 
+def _nearest_rep_frame(mapper: SealMapper, points: jnp.ndarray):
+    """Nearest stroke representative and its local normal frame:
+    (h, lateral, n_near) with h the signed height above the local sheet and
+    lateral the in-sheet distance to the nearest rep."""
+    d = mapper.data
+    diff = points[:, None, :] - d["reps"][None]          # [N, R, 3]
+    d2 = (diff ** 2).sum(-1)                             # [N, R]
+    j = d2.argmin(1)
+    n_near = jnp.take(d["rep_normals"], j, axis=0)       # [N, 3]
+    rel = points - jnp.take(d["reps"], j, axis=0)
+    h = (rel * n_near).sum(-1)
+    lateral = jnp.sqrt(jnp.maximum(d2.min(1) - h * h, 0.0))
+    return h, lateral, n_near
+
+
 def _brush_contains(mapper: SealMapper, points: jnp.ndarray) -> jnp.ndarray:
     """Parametric stroke containment: height along the lifted normal within
     [-depth*|ne|, 2*|ne|] and lateral distance to the stroke sheet within the
-    cluster margin."""
+    cluster margin. Curve brushes use the nearest rep's LOCAL normal so the
+    test follows curved geometry (reference casts rays against the kNN
+    trimesh instead, seal_utils.py:377-406)."""
     d = mapper.data
+    if "curve" in mapper.flags:
+        p = d["pressure"]
+        h, lateral, _ = _nearest_rep_frame(mapper, points)
+        ok_h = (h >= -d["depth"] * p) & (h <= 2.0 * p)
+        return ok_h & (lateral <= d["lateral_margin"])
     ne = d["normal_expand"]
     ne_len = jnp.linalg.norm(ne) + 1e-12
     n_hat = ne / ne_len
@@ -368,11 +426,20 @@ def map_to_origin(mapper: SealMapper, points: jnp.ndarray,
         mask = map_mask(mapper, points)
         if mapper.attenuation_mode == "dry":
             return points, dirs, mask
+        att = d["attenuation_distance"]
+        if "curve" in mapper.flags:
+            # Displace along the nearest rep's LOCAL normal; border distance
+            # measured in 3D on the curved sheet.
+            _, _, n_near = _nearest_rep_frame(mapper, points)
+            bdist = jnp.sqrt(((points[:, None, :] - d["border_points"][None]) ** 2)
+                             .sum(-1).min(1))
+            comp = jnp.clip((att - bdist) / jnp.maximum(att, 1e-12), 0.0, 1.0)
+            mapped = points - (1.0 - comp)[:, None] * d["pressure"] * n_near
+            return jnp.where(mask[:, None], mapped, points), dirs, mask
         proj = geo.project_points(d["normal_expand"], d["plane_center"], points)
         bdist = jnp.sqrt(
             ((proj[:, None, :] - d["border_points"][None]) ** 2).sum(-1).min(1))
         mapped = points - d["normal_expand"]
-        att = d["attenuation_distance"]
         comp = jnp.clip((att - bdist) / jnp.maximum(att, 1e-12), 0.0, 1.0)
         mapped = mapped + comp[:, None] * d["normal_expand"]
         return jnp.where(mask[:, None], mapped, points), dirs, mask

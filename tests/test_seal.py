@@ -248,3 +248,63 @@ def test_seal_bbox_edit_e2e(tmp_path):
     student._dump_run_config(pcfg)
     import os
     assert os.path.exists(os.path.join(str(tmp_path), "seal.json"))
+
+
+def test_curve_brush_follows_curved_surface():
+    """A stroke painted on a spherical cap: the curve brush's per-rep local
+    normals must contain and correctly un-lift points all over the cap, while
+    the single-plane 'line' fit demonstrably misses the cap's periphery
+    (reference handles this with a kNN trimesh fit, seal_utils.py:591-627)."""
+    # Spherical cap of radius 1 around +y pole, ~37 deg aperture.
+    rng = np.random.default_rng(3)
+    theta = np.arccos(rng.uniform(np.cos(0.65), 1.0, 400))
+    phi = rng.uniform(0, 2 * np.pi, 400)
+    pts = np.stack([np.sin(theta) * np.cos(phi),
+                    np.cos(theta),
+                    np.sin(theta) * np.sin(phi)], -1).astype(np.float32)
+    pressure = 0.05
+
+    def cfg(btype):
+        return {
+            "type": "brush",
+            "raw": pts.tolist(),
+            "normal": [0.0, 1.0, 0.0],
+            "brushType": btype,
+            "brushPressure": pressure,
+            "brushDepth": 1.0,
+            "attenuationDistance": 0.0,
+            "attenuationMode": "linear",
+            "simplifyVoxel": 12,
+        }
+
+    m_curve = build_mapper(cfg("curve"))
+    m_line = build_mapper(cfg("line"))
+
+    # Probe the fully-lifted sheet: surface + pressure * TRUE (radial) normal,
+    # at the cap periphery where the surface bends ~0.2 below the fitted plane
+    # and the radial normal is ~34 deg off the global one.
+    edge = np.abs(theta - 0.6) < 0.04
+    surf = pts[edge]
+    normals = surf / np.linalg.norm(surf, axis=-1, keepdims=True)
+    lifted = jnp.asarray(surf + pressure * normals)
+
+    mask_curve = np.asarray(map_mask(m_curve, lifted))
+    mask_line = np.asarray(map_mask(m_line, lifted))
+    assert mask_curve.mean() > 0.9, mask_curve.mean()
+    # The plane fit's height window sits at the pole's level; part of the
+    # periphery (which bends several pressures below the plane) escapes it.
+    assert mask_line.mean() < 0.9, mask_line.mean()
+
+    # Un-lift: curve-mapped points land back ON the sphere surface (the local
+    # normal undoes the radial lift)...
+    mapped, _, mask = map_to_origin(m_curve, lifted, None)
+    mapped = np.asarray(mapped)[np.asarray(mask)]
+    err_curve = np.abs(np.linalg.norm(mapped, axis=-1) - 1.0)
+    assert err_curve.mean() < 0.01, err_curve.mean()
+    # ...while the plane fit displaces along the GLOBAL normal (-y), missing
+    # the surface by ~pressure*|n_local - n_global| on the points it catches.
+    mapped_l, _, _ = map_to_origin(m_line, lifted, None)
+    caught = np.asarray(mask_line)
+    err_line = np.abs(np.linalg.norm(np.asarray(mapped_l)[caught], axis=-1) - 1.0)
+    assert err_line.mean() > 3.0 * max(err_curve.mean(), 1e-4), (
+        err_line.mean(), err_curve.mean())
