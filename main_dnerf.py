@@ -35,6 +35,13 @@ def main():
                       use_dense=args.dense_render)
     tr.init_state()
 
+    if args.gui:
+        # time-aware viewer (reference dnerf/gui.py: NeRFGUI + time slider)
+        from seal3d_tpu.gui import launch_gui
+
+        launch_gui(args, tr)
+        return
+
     if not args.test:
         tr.train(steps=args.iters, blocked=not args.dense_render)
         tr.save_checkpoint()

@@ -98,17 +98,19 @@ def main():
 
     def lane_kernel(rows_ref, lo_ref, out_ref):
         rows = rows_ref[:]          # [R, 128]
-        lo = lo_ref[:]              # [R, 128] (only col 0 used)
-        out_ref[:] = jnp.take_along_axis(rows, lo[:, :1], axis=1)
+        lo = lo_ref[:]              # [R, 128] broadcast lane index
+        # Mosaic gather lowering wants indices shaped in.shape + (1,)
+        out_ref[:] = jnp.take_along_axis(rows, lo[..., None], axis=1)[..., 0]
 
     r = 8192
     rows = jax.random.normal(key, (r, 128))
-    lo = jax.random.randint(key, (r, 128), 0, 128)
+    lo = jax.random.randint(key, (r, 1), 0, 128)
+    lo = jnp.broadcast_to(lo, (r, 128))
 
     def lane_gather(rows, lo):
         return pl.pallas_call(
             lane_kernel,
-            out_shape=jax.ShapeDtypeStruct((r, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((r, 128), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -49,6 +49,12 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    help="train against srgb images or linearized ones")
     p.add_argument("--grid_backend", type=str, default=None,
                    choices=["xla", "pallas"])
+    p.add_argument("--coarse_steps", type=int, default=64,
+                   help="per-ray coarse interval tightening steps "
+                        "(0 disables; only active for single-cascade scenes)")
+    p.add_argument("--adaptive_budget", action="store_true", default=None,
+                   help="adapt the sample budget to measured occupancy "
+                        "(the reference mean_count analog); on with -O")
     p.add_argument("--log2_hashmap_size", type=int, default=None)
     p.add_argument("--eval_interval", type=int, default=50)
     p.add_argument("--gui", action="store_true")
@@ -62,18 +68,24 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
 
 
 def build_options(args) -> RenderOptions:
+    coarse = getattr(args, "coarse_steps", 64)
     return RenderOptions(
         bound=args.bound, dt_gamma=args.dt_gamma, max_steps=args.max_steps,
         budget_per_ray=args.budget_per_ray, num_candidates=args.max_steps,
         num_steps=args.num_steps, upsample_steps=args.upsample_steps,
-        min_near=args.min_near, bg_radius=args.bg_radius)
+        min_near=args.min_near, bg_radius=args.bg_radius,
+        coarse_steps=coarse)
 
 
 def build_train_config(args) -> TrainConfig:
+    adaptive = getattr(args, "adaptive_budget", None)
+    if adaptive is None:
+        adaptive = bool(getattr(args, "O", False))
     return TrainConfig(
         lr=args.lr, max_steps=args.iters, num_rays=args.num_rays,
         density_thresh=args.density_thresh,
         error_map=args.error_map, color_space=args.color_space,
+        adaptive_budget=adaptive,
         workspace=args.workspace)
 
 

@@ -124,6 +124,77 @@ class SyntheticScene:
 
 
 @dataclass(frozen=True)
+class HardSyntheticScene(SyntheticScene):
+    """Hard-mode benchmark scene: lego-like frequency content with NO smooth
+    shortcuts — a studded base plate (7x7 sphere-cap grid), four thin pillars
+    with a top frame (2-4 cm struts), a thin-shell wheel, and a checker/stripe
+    3D texture at ~15 cycles/unit. Small hash tables underfit this scene
+    visibly, which is what the bench's capacity ablation needs (VERDICT r1:
+    smooth blobs could not expose the 2^14-vs-2^19 table gap)."""
+
+    density_scale: float = 90.0
+    gt_steps: int = 768  # thin structures need a finer GT ladder
+
+    def density(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = 220.0  # much sharper edges than the base scene
+
+        def sd_box(c, half):
+            q = jnp.abs(x - jnp.asarray(c)) - jnp.asarray(half)
+            return (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+                    + jnp.minimum(q.max(-1), 0.0))
+
+        def occ(d):
+            return jax.nn.sigmoid(-k * d)
+
+        # base plate
+        total = occ(sd_box([0.0, -0.42, 0.0], [0.5, 0.03, 0.5]))
+        # 7x7 stud grid on the plate: fold x/z into the nearest cell
+        pitch = 0.125
+        gx = jnp.clip(jnp.round(x[..., 0] / pitch), -3, 3) * pitch
+        gz = jnp.clip(jnp.round(x[..., 2] / pitch), -3, 3) * pitch
+        stud = jnp.stack([x[..., 0] - gx, x[..., 1] + 0.37, x[..., 2] - gz], -1)
+        total = total + occ(jnp.linalg.norm(stud, axis=-1) - 0.040)
+        # four thin pillars + top frame struts (half-width 0.022)
+        for sx in (-0.38, 0.38):
+            for sz in (-0.38, 0.38):
+                total = total + occ(sd_box([sx, -0.05, sz], [0.022, 0.34, 0.022]))
+        for sx in (-0.38, 0.38):
+            total = total + occ(sd_box([sx, 0.29, 0.0], [0.022, 0.022, 0.4]))
+            total = total + occ(sd_box([0.0, 0.29, sx], [0.4, 0.022, 0.022]))
+        # thin-shell wheel (torus) leaning in the middle
+        p = x - jnp.asarray([0.0, 0.0, 0.0])
+        pr = jnp.stack([p[..., 0],
+                        (p[..., 1] + p[..., 2]) * 0.70710678,
+                        (p[..., 2] - p[..., 1]) * 0.70710678], -1)
+        q = jnp.stack([jnp.sqrt(pr[..., 0] ** 2 + pr[..., 2] ** 2) - 0.26,
+                       pr[..., 1]], -1)
+        total = total + occ(jnp.linalg.norm(q, axis=-1) - 0.028)
+        return self.density_scale * jnp.clip(total, 0.0, 1.0)
+
+    def color(self, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+        # high-frequency 3D checker + stripes (~15 cycles/unit) over a
+        # position-keyed base palette; view sheen kept from the base scene
+        checker = (jnp.sin(47.0 * x[..., 0]) * jnp.sin(43.0 * x[..., 1])
+                   * jnp.sin(53.0 * x[..., 2]))
+        stripes = jnp.sin(89.0 * (x[..., 0] + x[..., 2]))
+        base = jnp.stack(
+            [
+                0.5 + 0.28 * jnp.tanh(6.0 * checker),
+                0.5 + 0.28 * jnp.tanh(6.0 * stripes),
+                0.5 + 0.4 * jnp.sin(3.0 * x[..., 1] + 2.0),
+            ],
+            axis=-1,
+        )
+        sheen = 0.1 * (0.5 + 0.5 * (d * jnp.array([0.0, 1.0, 0.0])).sum(-1))
+        return jnp.clip(base + sheen[..., None], 0.0, 1.0)
+
+    def render_rays(self, rays_o, rays_d, num_steps: int | None = None,
+                    bg: float = 1.0):
+        return SyntheticScene.render_rays(
+            self, rays_o, rays_d, num_steps=num_steps or self.gt_steps, bg=bg)
+
+
+@dataclass(frozen=True)
 class DynamicSyntheticScene(SyntheticScene):
     """Time-varying variant: one blob orbits the center over t in [0,1]
     (ground truth for D-NeRF tests/benchmarks)."""

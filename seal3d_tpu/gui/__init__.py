@@ -5,8 +5,9 @@ gui/state.py (testable headless); this module provides the dearpygui shell —
 gated, since dearpygui is not installed in every environment (this image
 ships without it)."""
 
-from seal3d_tpu.gui.state import (DynamicBudget, EditSession, OrbitCamera,
-                                  ToolState, depth_lift)
+from seal3d_tpu.gui.state import (DynamicBudget, EditSession, MaskPainter,
+                                  OrbitCamera, SealController, ToolState,
+                                  depth_lift, lift_pixels, texture_rect_config)
 
 try:  # pragma: no cover - needs a display + dearpygui
     import dearpygui.dearpygui as dpg

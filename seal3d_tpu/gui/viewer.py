@@ -15,7 +15,7 @@ import dearpygui.dearpygui as dpg  # gated by gui/__init__
 
 import jax
 
-from seal3d_tpu.gui.state import (DynamicBudget, EditSession, OrbitCamera,
+from seal3d_tpu.gui.state import (DynamicBudget, OrbitCamera, SealController,
                                   ToolState, depth_lift)
 
 
@@ -28,6 +28,10 @@ class NeRFViewer:
         self.budget = DynamicBudget()
         self.training = not args.test
         self.buffer = np.zeros((args.H, args.W, 3), np.float32)
+        # D-NeRF trainers expose render_image_t; the viewer then shows a
+        # time slider (reference dnerf/gui.py).
+        self.time_value = 0.0
+        self._time_aware = hasattr(trainer, "render_image_t")
 
     # one preview frame at the adaptive resolution
     def render_frame(self):
@@ -36,7 +40,11 @@ class NeRFViewer:
         h, w = self.args.H // ds, self.args.W // ds
         intr = self.cam.intrinsics / ds
         self.trainer._intrinsics = jax.numpy.asarray(intr)
-        img, _ = self.trainer.render_image(self.cam.pose, h, w)
+        if self._time_aware:
+            img, _ = self.trainer.render_image_t(self.cam.pose, h, w,
+                                                 float(self.time_value))
+        else:
+            img, _ = self.trainer.render_image(self.cam.pose, h, w)
         self.budget.update_preview((time.time() - t0) * 1000)
         img = np.asarray(img)
         if ds > 1:
@@ -60,6 +68,10 @@ class NeRFViewer:
             dpg.add_image("_tex")
             dpg.add_checkbox(label="train", default_value=self.training,
                              callback=lambda s, v: setattr(self, "training", v))
+            if self._time_aware:
+                dpg.add_slider_float(label="time", min_value=0.0, max_value=1.0,
+                                     callback=lambda s, v: setattr(
+                                         self, "time_value", v))
         with dpg.handler_registry():
             dpg.add_mouse_drag_handler(
                 button=dpg.mvMouseButton_Left,
@@ -87,6 +99,12 @@ class NeRFViewer:
 
 
 class SealViewer(NeRFViewer):
+    """Thin dpg shell over SealController (all interaction logic is headless
+    in gui/state.py). Buttons/handlers mirror the reference editing GUI:
+    tool states + drag-paint (SealNeRF/gui.py:1111-1158), config/start
+    (:453-505, 672-691), texture rect (:809-829), save/override/reset
+    (:532-576), pretrain-only + time limit (:511-521)."""
+
     def __init__(self, args, field_mod, fcfg, make_trainer):
         from seal3d_tpu.config import build_train_config, load_dataset
 
@@ -95,79 +113,140 @@ class SealViewer(NeRFViewer):
         teacher = make_trainer(tcfg, ds, name="gui_teacher")
         teacher.init_state()
         super().__init__(args, teacher)
-        self.field_mod = field_mod
-        self.fcfg = fcfg
-        self.make_trainer = make_trainer
-        self.dataset = ds
-        self.session = EditSession()
-        self.student = None
-        self.show_student = False
-        self.time_limit = None
-        self.pretrain_only = False
-        self._train_started = None
+        self.ctl = SealController(teacher, field_mod, fcfg, ds,
+                                  workspace=args.workspace, cam=self.cam)
+        self.texture_path = getattr(args, "texture_path", None)
+
+    # compat passthroughs (tests/round-1 callers)
+    @property
+    def session(self):
+        return self.ctl.session
+
+    @property
+    def student(self):
+        return self.ctl.student
 
     @property
     def render_trainer(self):
-        return self.student if (self.show_student and self.student) else self.trainer
+        return self.ctl.render_trainer
 
     def pick_surface(self, px: int, py: int):
-        """Depth-lift a clicked pixel to a 3D point (reference
-        get_mask_pos, SealNeRF/gui.py:300-306)."""
-        from seal3d_tpu.data.rays import get_full_rays
-        import jax.numpy as jnp
-
-        h, w = 64, 64
-        intr = self.cam.intrinsics * (64 / self.args.H)
-        rays = get_full_rays(jnp.asarray(self.cam.pose), jnp.asarray(intr), h, w)
-        _, depth = self.trainer.render_image(self.cam.pose, h, w)
-        i = min(int(py * 64 / self.args.H), 63)
-        j = min(int(px * 64 / self.args.W), 63)
-        ro = np.asarray(rays["rays_o"]).reshape(h, w, 3)[i, j]
-        rd = np.asarray(rays["rays_d"]).reshape(h, w, 3)[i, j]
-        return depth_lift(ro, rd, np.asarray(depth)[i, j])
+        """Single-pixel depth lift (kept for anchor clicks; mask painting
+        uses the batched ctl.finish_stroke path)."""
+        r = self.ctl.paint_res
+        self.ctl.painter.clear()
+        self.ctl.painter.radius = 0.5
+        self.ctl.painter.stamp(px * r / self.args.W, py * r / self.args.H)
+        pts = self.ctl.lift_mask()
+        self.ctl.painter.clear()
+        self.ctl.painter.radius = 6
+        return pts[0] if len(pts) else None
 
     def start_edit(self, config: dict):
-        """Build mapper + student and enter TRAIN (reference 'start' button,
-        SealNeRF/gui.py:453-505)."""
-        from seal3d_tpu.seal.mappers import build_mapper
-        from seal3d_tpu.seal.trainer import PretrainConfig, SealTrainer
-
-        mapper = build_mapper(config, workspace=self.args.workspace)
-        self.student = SealTrainer(
-            self.field_mod, self.fcfg, self.trainer.opts, self.trainer.cfg,
-            mapper, teacher_params=self.trainer.state.params,
-            teacher_bitfield=self.trainer.state.occ.bitfield,
-            dataset=self.dataset, name="gui_student")
-        self.student.init_state()
-        self.student.init_pretraining(PretrainConfig(epochs=1))
-        self.session.state = ToolState.TRAIN
-        self.show_student = True
-        self._train_started = time.time()
+        self.ctl.start_edit(config)
 
     def train_slice(self):
-        if self.session.state is not ToolState.TRAIN or self.student is None:
-            return
-        if self.time_limit and time.time() - self._train_started > self.time_limit:
-            return
-        t0 = time.time()
-        if self.student.is_pretraining:
-            self.student.pretrain_one_epoch()
-            if self.pretrain_only:
-                pass
-        else:
-            self.student.train(steps=self.budget.train_steps, silent=True)
-        self.budget.update_train((time.time() - t0) * 1000)
+        self.ctl.train_slice()
 
     def override_teacher(self):
-        """Commit the edit: copy student weights into the teacher and clear
-        mappers (reference callback_override, SealNeRF/gui.py:540-556)."""
-        import jax.numpy as jnp
+        self.ctl.override_teacher()
 
-        if self.student is None:
-            return
-        self.trainer.state = self.trainer.state._replace(
-            params=jax.tree.map(jnp.copy, self.student.state.params),
-            ema_params=jax.tree.map(jnp.copy, self.student.state.ema_params))
-        self.student = None
-        self.show_student = False
-        self.session.reset()
+    def render_frame(self):
+        t0 = time.time()
+        ds = self.budget.downscale
+        h, w = self.args.H // ds, self.args.W // ds
+        img, _ = self.ctl._render_pose(self.cam.pose, h, w)
+        self.budget.update_preview((time.time() - t0) * 1000)
+        img = np.asarray(img)
+        if ds > 1:
+            img = np.repeat(np.repeat(img, ds, 0), ds, 1)[: self.args.H,
+                                                          : self.args.W]
+        self.buffer[:] = img
+        return self.buffer
+
+    # --------------------------------------------------------- dpg bindings
+    def _on_drag(self, sender, data):
+        if self.session.state is ToolState.BRUSH:
+            x, y = dpg.get_mouse_pos(local=False)
+            r = self.ctl.paint_res
+            self.ctl.painter.drag(x * r / self.args.W, y * r / self.args.H)
+        else:
+            self.cam.orbit(data[1], data[2])
+
+    def _on_release(self, sender, data):
+        if self.session.state is ToolState.BRUSH:
+            n = self.ctl.finish_stroke()
+            print(f"[gui] stroke lifted to {n} surface points")
+
+    def _config_and_start(self):
+        s = self.session
+        if s.state is ToolState.TEXTURE and self.texture_path:
+            cfg = self.ctl.texture_config(self.texture_path)
+        elif s.anchor_points:
+            cfg = s.anchor_config()
+        else:
+            cfg = s.brush_config()
+        self.ctl.start_edit(cfg)
+
+    def render(self):
+        dpg.create_context()
+        with dpg.texture_registry():
+            dpg.add_raw_texture(self.args.W, self.args.H,
+                                self.buffer.reshape(-1),
+                                format=dpg.mvFormat_Float_rgb, tag="_tex")
+        with dpg.window(tag="_primary"):
+            dpg.add_image("_tex")
+            with dpg.group(horizontal=True):
+                for tool in (ToolState.PREVIEW, ToolState.BRUSH,
+                             ToolState.TEXTURE, ToolState.ANCHOR):
+                    dpg.add_button(
+                        label=tool.value,
+                        callback=lambda s, a, t=tool: setattr(
+                            self.session, "state", t))
+            with dpg.group(horizontal=True):
+                dpg.add_button(label="start",
+                               callback=lambda: self._config_and_start())
+                dpg.add_button(label="save",
+                               callback=lambda: self.ctl.save_checkpoint())
+                dpg.add_button(label="override",
+                               callback=lambda: self.ctl.override_teacher())
+                dpg.add_button(label="reset",
+                               callback=lambda: self.ctl.reset_teacher())
+            dpg.add_checkbox(label="show student",
+                             callback=lambda s, v: setattr(
+                                 self.ctl, "show_student", v))
+            dpg.add_checkbox(label="pretrain only",
+                             callback=lambda s, v: setattr(
+                                 self.ctl, "pretrain_only", v))
+            dpg.add_input_float(label="time limit (s)", default_value=0.0,
+                                callback=lambda s, v: setattr(
+                                    self.ctl, "time_limit", v or None))
+            if hasattr(self.trainer, "render_image_t"):
+                dpg.add_slider_float(label="time", min_value=0.0,
+                                     max_value=1.0,
+                                     callback=lambda s, v: setattr(
+                                         self.ctl, "time_value", v))
+        with dpg.handler_registry():
+            dpg.add_mouse_drag_handler(button=dpg.mvMouseButton_Left,
+                                       callback=self._on_drag)
+            dpg.add_mouse_release_handler(button=dpg.mvMouseButton_Left,
+                                          callback=self._on_release)
+            dpg.add_mouse_wheel_handler(callback=lambda s, d: self.cam.scale(d))
+            dpg.add_mouse_drag_handler(
+                button=dpg.mvMouseButton_Middle,
+                callback=lambda s, d: self.cam.pan(d[1], d[2]))
+        dpg.create_viewport(title="seal3d-tpu edit", width=self.args.W,
+                            height=self.args.H + 180)
+        dpg.setup_dearpygui()
+        dpg.set_primary_window("_primary", True)
+        dpg.show_viewport()
+        last_preview = 0.0
+        while dpg.is_dearpygui_running():
+            if self.session.state is ToolState.TRAIN:
+                self.ctl.train_slice()
+            if time.time() - last_preview > 0.5:
+                self.render_frame()
+                dpg.set_value("_tex", self.buffer.reshape(-1))
+                last_preview = time.time()
+            dpg.render_dearpygui_frame()
+        dpg.destroy_context()

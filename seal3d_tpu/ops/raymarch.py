@@ -237,6 +237,83 @@ def compact_topk(ts, dts, valid, rays_o, rays_d, k: int) -> MarchedGrid:
     return MarchedGrid(xyzs=xyz, dirs=dirs, deltas=dts_k, ts=ts_k, valid=valid_k)
 
 
+def coarse_tighten(rays_o, rays_d, bitfield, nears, fars, cascades: int,
+                   bound: float, n_steps: int = 64):
+    """Per-ray [near, far] tightening from a 16^3 coarse occupancy view.
+
+    Morton order is hierarchical: 64 consecutive bitfield bytes = one 8^3
+    block of fine cells = one coarse cell, so the coarse grid is a single
+    reshape+max over the (possibly Seal-hacked) bitfield — always consistent
+    with whatever the fine march will see. Each ray walks `n_steps` coarse
+    samples; its candidate ladder then starts at the first occupied coarse
+    cell and ends after the last (+-1 step of slack), so empty leading/
+    trailing space costs no fine candidates and rays that hit nothing get
+    near == far (zero valid candidates). This recovers most of the empty-
+    space skipping of the reference's per-ray DDA while staying one dense
+    [N, n_steps] gather (raymarching.cu:390-399 analog).
+
+    Only the single-cascade case is tightened (multi-cascade rays would need
+    per-mip coarse views); other cases return (nears, fars) unchanged.
+    """
+    if cascades != 1:
+        return nears, fars
+    coarse = (bitfield.reshape(4096, 64).max(-1) > 0)  # [16^3] bool, Morton
+    n = n_steps
+    frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    tc = nears[:, None] + frac[None, :] * (fars - nears)[:, None]  # [N, n]
+    xyz = rays_o[:, None, :] + tc[..., None] * rays_d[:, None, :]
+    cell = jnp.clip(((xyz / bound) * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.int32)
+    occ = jnp.take(coarse, morton3d(cell).astype(jnp.int32), axis=0)
+    occ = occ & (tc < fars[:, None])
+    any_hit = occ.any(axis=1)
+    first = jnp.argmax(occ, axis=1).astype(jnp.float32)
+    last = (n - 1 - jnp.argmax(occ[:, ::-1], axis=1)).astype(jnp.float32)
+    dt_c = (fars - nears) / n
+    near2 = jnp.maximum(nears + (first - 1.0) * dt_c, nears)
+    far2 = jnp.minimum(nears + (last + 2.0) * dt_c, fars)
+    near2 = jnp.where(any_hit, near2, fars)
+    far2 = jnp.where(any_hit, far2, fars)
+    return near2, far2
+
+
+def compact_grid_to_flat(m: MarchedGrid, budget: int) -> MarchedRays:
+    """Pack the valid samples of a [N, K] march into a flat [budget] buffer.
+
+    The field network then runs only on REAL samples instead of the full
+    N*K grid (at the recipe operating point ~36% of grid slots are invalid
+    and still paid for). One argsort moves all valid samples to the front in
+    (ray, t) order — ray-contiguous, so `composite_flat` applies directly.
+    This is the static-shape analog of the reference's `mean_count`
+    pre-allocation, which sizes the sample pool below N*max_steps and drops
+    overflow (raymarching/raymarching.py:198-204); here overflow drops the
+    trailing rays' samples (valid=False in the dump tail).
+    """
+    n, k = m.deltas.shape
+    nk = n * k
+    flat_valid = m.valid.reshape(-1)
+    idx = jnp.arange(nk, dtype=jnp.int32)
+    # valid samples keep their (ray-major, t-ascending) order; invalid sink
+    order = jnp.argsort(jnp.where(flat_valid, idx, idx + nk))
+    sel = order[:budget]
+    take = lambda a: jnp.take(a.reshape(nk, -1), sel, axis=0)
+    xyzs = take(m.xyzs)
+    dirs = take(m.dirs)
+    deltas = take(m.deltas)[:, 0]
+    ts = take(m.ts)[:, 0]
+    valid_f = jnp.take(flat_valid, sel)
+    ray_id = (sel // k).astype(jnp.int32)
+    counts = m.valid.sum(1).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    kept = (jnp.minimum(starts + counts, budget)
+            - jnp.minimum(starts, budget))
+    return MarchedRays(
+        xyzs=xyzs, dirs=dirs, deltas=deltas, ts=ts,
+        ray_id=jnp.clip(ray_id, 0, n - 1), valid=valid_f,
+        offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0),
+    )
+
+
 def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     bitfield: jnp.ndarray, bound: float, cascades: int,
                     dt_gamma: float, max_steps: int, k: int,
@@ -244,7 +321,8 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     perturb: jnp.ndarray | None = None,
                     min_near: float = 0.05,
                     aabb: jnp.ndarray | None = None,
-                    occ_stride: int = 2) -> MarchedGrid:
+                    occ_stride: int = 2,
+                    coarse_steps: int = 0) -> MarchedGrid:
     """Occupancy march producing the per-ray [N, K] layout (see compact_topk).
 
     occ_stride > 1 tests the bitfield at every s-th candidate and broadcasts
@@ -258,6 +336,9 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     if num_candidates is None:
         num_candidates = max_steps
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    if coarse_steps > 0:
+        nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
+                                     cascades, bound, n_steps=coarse_steps)
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
                                   max_steps, perturb)
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]

@@ -80,6 +80,7 @@ def occupancy_update(
     decay: float = 0.95,
     full: bool = True,
     partial_cells: int = GRID_CELLS // 8,
+    occ_cells: int = 2**16,
     query_chunk: int = 2**17,
 ) -> OccupancyState:
     """One maintenance step.
@@ -100,9 +101,11 @@ def occupancy_update(
         n = xs.shape[0]
         if n <= query_chunk:
             return density_fn(xs)
-        assert n % query_chunk == 0, (n, query_chunk)
-        chunks = xs.reshape(n // query_chunk, query_chunk, 3)
-        return jax.lax.map(density_fn, chunks).reshape(n)
+        pad = (-n) % query_chunk
+        if pad:
+            xs = jnp.concatenate([xs, xs[:pad]])
+        chunks = xs.reshape(-1, query_chunk, 3)
+        return jax.lax.map(density_fn, chunks).reshape(-1)[:n]
 
     if full:
         new_vals = jnp.zeros_like(grid)
@@ -113,14 +116,21 @@ def occupancy_update(
             xs = cell_world_positions(sub, codes, cas, bound)
             new_vals = new_vals.at[cas].set(query(xs))
     else:
-        # Static-size partial refresh: per cascade, `partial_cells` uniform
-        # cells + `partial_cells` occupied-biased cells.
+        # Static-size partial refresh per cascade: a ROTATING strided slice
+        # of `partial_cells` cells (phase = iter_density, so 8 updates cover
+        # every cell deterministically — no coupon-collector gaps, and the
+        # Morton layout makes each slice spatially well distributed) plus
+        # `occ_cells` occupied-biased resamples (the reference's
+        # nonzero+randint resampling, renderer.py:488-514 — kept smaller
+        # here because its inverse-CDF searchsorted costs ~0.1us/sample).
+        stride = GRID_CELLS // partial_cells
         new_vals = jnp.zeros_like(grid)
         written = jnp.zeros_like(grid, dtype=bool)
+        phase = (state.iter_density % stride).astype(jnp.uint32)
         for cas in range(cascades):
-            key, k1, k2, k3 = jax.random.split(key, 4)
-            uni = jax.random.randint(k1, (partial_cells,), 0, GRID_CELLS).astype(jnp.uint32)
-            occ = _sample_occupied(k2, grid[cas] > 0.0, partial_cells)
+            key, k2, k3 = jax.random.split(key, 3)
+            uni = (jnp.arange(partial_cells, dtype=jnp.uint32) * stride + phase)
+            occ = _sample_occupied(k2, grid[cas] > 0.0, occ_cells)
             codes = jnp.concatenate([uni, occ])
             xs = cell_world_positions(k3, codes, cas, bound)
             vals = query(xs)

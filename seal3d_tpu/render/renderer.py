@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.ops.composite import composite_dense, composite_flat
-from seal3d_tpu.ops.raymarch import (march_rays, march_rays_grid,
-                                     near_far_from_aabb, sph_from_ray)
+from seal3d_tpu.ops.raymarch import (compact_grid_to_flat, march_rays,
+                                     march_rays_grid, near_far_from_aabb,
+                                     sph_from_ray)
 
 
 @dataclass(frozen=True)
@@ -47,6 +48,16 @@ class RenderOptions:
     compaction: str = "topk"
     # occupancy tested at every s-th candidate (see march_rays_grid)
     occ_stride: int = 2
+    # On the topk path: sort-pack valid samples into a flat buffer of
+    # flat_frac * N * K before the field query, so the network never runs on
+    # invalid grid slots (the reference's mean_count pre-allocation analog,
+    # raymarching.py:198-204). None/1.0 disables; the trainer adapts this to
+    # the measured sample occupancy.
+    flat_frac: float | None = None
+    # Per-ray [near, far] tightening against a 16^3 coarse occupancy view
+    # before building the candidate ladder (ops/raymarch.coarse_tighten);
+    # 0 disables. Single-cascade scenes only.
+    coarse_steps: int = 0
 
     @cached_property
     def cascades(self) -> int:
@@ -95,14 +106,28 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
             max_steps=opts.max_steps, k=opts.budget_per_ray,
             num_candidates=opts.num_candidates, perturb=jitter,
             min_near=opts.min_near, aabb=aabb, occ_stride=opts.occ_stride,
+            coarse_steps=opts.coarse_steps,
         )
         k = opts.budget_per_ray
-        sigma, rgb = field.apply(params, cfg, m.xyzs.reshape(-1, 3),
-                                 m.dirs.reshape(-1, 3))
-        sigma = jnp.where(m.valid, sigma.reshape(n, k) * opts.density_scale, 0.0)
-        out = composite_dense(sigma, rgb.reshape(n, k, 3), m.deltas, m.ts,
-                              m.valid)
-        num_samples = m.valid.sum()
+        if opts.flat_frac is not None and opts.flat_frac < 1.0:
+            # Sort-pack valid samples; the field runs on `budget` real
+            # samples instead of all N*K grid slots.
+            budget = max(int(round(n * k * opts.flat_frac / 128)) * 128, 128)
+            mf = jax.tree.map(jax.lax.stop_gradient,
+                              compact_grid_to_flat(m, budget))
+            sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
+            sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
+            out = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
+                                 mf.offsets, mf.valid, n)
+            num_samples = mf.valid.sum()
+        else:
+            sigma, rgb = field.apply(params, cfg, m.xyzs.reshape(-1, 3),
+                                     m.dirs.reshape(-1, 3))
+            sigma = jnp.where(m.valid, sigma.reshape(n, k) * opts.density_scale,
+                              0.0)
+            out = composite_dense(sigma, rgb.reshape(n, k, 3), m.deltas, m.ts,
+                                  m.valid)
+            num_samples = m.valid.sum()
     else:
         marched = march_rays(
             rays_o, rays_d, bitfield,

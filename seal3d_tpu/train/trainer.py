@@ -47,8 +47,17 @@ class TrainConfig:
     density_thresh: float = 10.0
     eval_chunk: int = 8192
     eval_budget_per_ray: int = 192
+    # flat_frac for eval/full-image renders (None = dense [N,K] path). Full
+    # images are mostly background rays, so a 0.5 packing typically halves
+    # render time; set None if clipping artifacts ever matter more.
+    eval_flat_frac: Optional[float] = None
     random_bg: bool = True
     error_map: bool = False
+    # Adapt RenderOptions.flat_frac to the measured valid-sample occupancy
+    # (EMA in occ.mean_count) at each grid-update boundary — the reference's
+    # mean_count pre-allocation (raymarching.py:198-204) as a re-jit bucket.
+    adaptive_budget: bool = False
+    budget_buckets: tuple = (0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
     color_space: str = "srgb"  # 'linear' converts gt (reference --color_space)
     max_keep_ckpt: int = 2
     workspace: Optional[str] = None
@@ -145,6 +154,11 @@ class Trainer:
 
     def _build_steps(self, loss_override=None):
         field, fcfg, opts, cfg = self.field, self.fcfg, self.opts, self.cfg
+        self._loss_override = loss_override
+        # jitted step-set cache keyed by flat_frac so adaptive-budget bucket
+        # switches never recompile a previously-seen operating point
+        if not hasattr(self, "_step_cache"):
+            self._step_cache = {}
 
         def _march_aabb(occ_aabb):
             """Intersect the occupied-cell AABB with the scene box (tightens
@@ -223,6 +237,12 @@ class Trainer:
             ema = jax.tree.map(
                 lambda e, p: e * cfg.ema_decay + p * (1.0 - cfg.ema_decay),
                 state.ema_params, params)
+            # EMA of valid samples per batch -> occ.mean_count (drives the
+            # adaptive flat_frac bucket; reference mean_count analog).
+            ns = out.get("num_samples", jnp.zeros(())).astype(jnp.float32)
+            mc = state.occ.mean_count
+            occ = state.occ._replace(
+                mean_count=jnp.where(mc < 0, ns, mc * 0.9 + ns * 0.1))
             emap = state.error_map
             if emap is not None:
                 # EMA error refresh at the sampled coarse cells
@@ -235,7 +255,7 @@ class Trainer:
                 new = cur.at[cell].set(cur[cell] * 0.9 + 0.1 * per_ray)
                 emap = emap.at[img_idx].set(new)
             new_state = TrainState(params=params, opt_state=opt_state,
-                                   ema_params=ema, occ=state.occ,
+                                   ema_params=ema, occ=occ,
                                    step=state.step + 1, error_map=emap)
             metrics = {"loss": loss,
                        "num_samples": out.get("num_samples", jnp.zeros(()))}
@@ -269,15 +289,15 @@ class Trainer:
         self._train_block = jax.jit(train_block, static_argnums=(2,), **donate)
         self._update_grid_full = jax.jit(partial(update_grid, full=True), **donate)
         self._update_grid_partial = jax.jit(partial(update_grid, full=False), **donate)
+        self._step_cache[opts.flat_frac] = (self._train_step, self._train_block)
 
         def render_eval(params, bitfield, rays_o, rays_d, bg, key,
                         occ_aabb=None):
-            eval_opts = RenderOptions(
-                bound=opts.bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
-                budget_per_ray=cfg.eval_budget_per_ray,
-                num_candidates=opts.num_candidates, num_steps=opts.num_steps,
-                upsample_steps=opts.upsample_steps, min_near=opts.min_near,
-                density_scale=opts.density_scale, bg_radius=opts.bg_radius)
+            import dataclasses
+
+            eval_opts = dataclasses.replace(
+                opts, budget_per_ray=cfg.eval_budget_per_ray,
+                flat_frac=cfg.eval_flat_frac)
             if self.use_dense:
                 return render_rays_dense(params, field, fcfg, rays_o, rays_d,
                                          eval_opts, key=key, bg_color=bg)
@@ -311,6 +331,8 @@ class Trainer:
                 fn = self._update_grid_full if bool(full) else self._update_grid_partial
                 self.state = fn(self.state, k1)
                 self._post_grid_update()
+                if self.cfg.adaptive_budget and not bool(full):
+                    self._retune_budget()
             if blocked:
                 n = min(self.cfg.update_grid_interval, steps - i)
                 if self.use_dense:
@@ -336,6 +358,32 @@ class Trainer:
     def _post_grid_update(self):
         """Hook after each occupancy refresh (Seal re-applies the bitfield
         hack here — reference SealNeRF/renderer.py:50-60)."""
+
+    def _retune_budget(self):
+        """Pick the flat_frac bucket matching the measured valid-sample
+        occupancy and swap in the (cached) jitted steps for it. The 1.15
+        headroom keeps sample drops rare; growth is immediate (dropping
+        samples biases renders), shrink saves the encode cost on dead
+        grid slots."""
+        import dataclasses
+
+        mc = float(self.state.occ.mean_count)
+        if mc <= 0 or self.opts.compaction != "topk":
+            return
+        cap = self.cfg.num_rays * self.opts.budget_per_ray
+        frac = min(mc * 1.15 / cap, 1.0)
+        bucket = next((b for b in self.cfg.budget_buckets if b >= frac), 1.0)
+        target = None if bucket >= 1.0 else bucket
+        if target == self.opts.flat_frac:
+            return
+        self.opts = dataclasses.replace(self.opts, flat_frac=target)
+        if target in self._step_cache:
+            self._train_step, self._train_block = self._step_cache[target]
+            # grid-update/eval fns don't depend on flat_frac; keep them.
+        else:
+            self._log(f"[budget] flat_frac -> {target} "
+                      f"(mean_count={mc:.0f}/{cap})")
+            self._build_steps(self._loss_override)
 
     def _log(self, msg: str):
         print(msg)
@@ -376,8 +424,11 @@ class Trainer:
                  bg_color: float = 1.0) -> float:
         """Mean PSNR over a dataset's views (reference evaluate_one_epoch,
         nerf/utils.py:905-1013)."""
+        from seal3d_tpu.train.metrics import PerceptualMeter
+
         ds = dataset or self.dataset
         meter = PSNRMeter()
+        pmeter = PerceptualMeter()
         n = len(ds) if max_views is None else min(max_views, len(ds))
         for vi in range(n):
             img, _ = self.render_image(ds.poses[vi], ds.h, ds.w, bg_color=bg_color)
@@ -385,8 +436,11 @@ class Trainer:
             if gt.shape[-1] == 4:
                 gt = gt[..., :3] * gt[..., 3:] + bg_color * (1 - gt[..., 3:])
             meter.update(np.asarray(img), gt)
+            pmeter.update(np.asarray(img), gt)
         result = meter.measure()
         self._log_scalar("eval/psnr", result, int(self.state.step))
+        self._log_scalar(f"eval/{pmeter.kind}", pmeter.measure(),
+                         int(self.state.step))
         # best-checkpoint tracking (reference nerf/utils.py:996-1073: best
         # ckpt keyed on metric, EMA weights, light save)
         if self.cfg.workspace and result > getattr(self, "_best_psnr", -1.0):

@@ -376,3 +376,25 @@ def test_ngp_apply_matches_density_color():
         c2 = ngp.color(params, cfg, x, d, out["geo_feat"])
         np.testing.assert_allclose(s1, out["sigma"], rtol=2e-5, atol=1e-5)
         np.testing.assert_allclose(c1, c2, rtol=2e-5, atol=1e-5)
+
+
+def test_lpips_proxy_ranks_distortions():
+    """The weight-free perceptual proxy must rank distortions sensibly:
+    identical < slightly blurred < heavily noised/shuffled."""
+    from seal3d_tpu.train.metrics import PerceptualMeter, lpips_proxy
+
+    rng = np.random.default_rng(0)
+    # structured image: smooth gradient + edges
+    y, x = np.mgrid[0:64, 0:64] / 64.0
+    img = np.stack([x, y, ((x * 8).astype(int) % 2).astype(float)], -1)
+    assert lpips_proxy(img, img) < 1e-9
+    blur = img.copy()  # horizontal blur (softens the vertical stripe edges)
+    blur[:, 1:-1] = (img[:, :-2] + img[:, 1:-1] + img[:, 2:]) / 3
+    noisy = np.clip(img + rng.normal(0, 0.3, img.shape), 0, 1)
+    d_blur = lpips_proxy(img, blur)
+    d_noise = lpips_proxy(img, noisy)
+    assert 0 < d_blur < d_noise, (d_blur, d_noise)
+    m = PerceptualMeter()
+    assert m.kind == "lpips_proxy"  # no weights in this image
+    m.update(img, noisy)
+    assert m.measure() > 0

@@ -87,3 +87,167 @@ def test_flat_compaction_matches_topk_path():
                            rays["rays_o"], rays["rays_d"], flat)
     np.testing.assert_allclose(np.asarray(out_topk["image"]),
                                np.asarray(out_flat["image"]), atol=5e-3)
+
+
+def test_flat_frac_packed_path_matches_topk():
+    """flat_frac sort-packing (field runs only on valid samples) must render
+    identically to the plain [N,K] topk path when the budget holds every
+    valid sample, and stay close when it clips a few."""
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
+                           density_thresh=0.01, full=True)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
+                         budget_per_ray=64, num_candidates=256, min_near=0.05)
+    out_ref = render_rays(None, _SceneField, scene, occ.bitfield,
+                          rays["rays_o"], rays["rays_d"], base, bg_color=1.0)
+
+    import dataclasses
+
+    full = dataclasses.replace(base, flat_frac=0.999)  # holds all valid
+    out_full = render_rays(None, _SceneField, scene, occ.bitfield,
+                           rays["rays_o"], rays["rays_d"], full, bg_color=1.0)
+    frac_used = float(out_full["num_samples"]) / (rays["rays_o"].shape[0] * 64)
+    assert frac_used < 0.9, frac_used  # packing actually has headroom
+    np.testing.assert_allclose(np.asarray(out_full["image"]),
+                               np.asarray(out_ref["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_full["depth"]),
+                               np.asarray(out_ref["depth"]), atol=2e-4)
+
+    tight = dataclasses.replace(base, flat_frac=0.25)  # clips the tail
+    out_tight = render_rays(None, _SceneField, scene, occ.bitfield,
+                            rays["rays_o"], rays["rays_d"], tight, bg_color=1.0)
+    err = np.abs(np.asarray(out_tight["image"])
+                 - np.asarray(out_ref["image"])).mean()
+    assert err < 0.05, err
+
+
+def test_over_budget_stride_subsampling():
+    """Drive compact_topk past its budget (count > K -> per-ray stride > 1,
+    deltas rescaled) and check (a) every ray's full depth range survives
+    (no near-truncation), (b) the rendered image stays close to the
+    unconstrained reference (the reference instead drops whole rays when
+    over budget, raymarching.py:198-204 — stride-subsampling must not change
+    the picture materially)."""
+    import dataclasses
+
+    from seal3d_tpu.ops.raymarch import compact_topk, march_rays_grid
+
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=1, h=24, w=24, seed=7)
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
+                           density_thresh=0.01, full=True)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+
+    # march with a tiny K so central rays exceed the budget
+    m_tight = march_rays_grid(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                              bound=1.0, cascades=1, dt_gamma=0.0,
+                              max_steps=256, k=16, num_candidates=256,
+                              min_near=0.05, occ_stride=1)
+    m_loose = march_rays_grid(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                              bound=1.0, cascades=1, dt_gamma=0.0,
+                              max_steps=256, k=256, num_candidates=256,
+                              min_near=0.05, occ_stride=1)
+    counts = np.asarray(m_loose.valid.sum(1))
+    over = counts > 16
+    assert over.sum() > 20, over.sum()  # the scenario actually triggers
+    # (a) depth coverage: last kept sample reaches the far end of the
+    # unconstrained ray (stride subsampling, not truncation)
+    t_far_loose = np.asarray(jnp.where(m_loose.valid, m_loose.ts, 0).max(1))
+    t_far_tight = np.asarray(jnp.where(m_tight.valid, m_tight.ts, 0).max(1))
+    gap = t_far_loose[over] - t_far_tight[over]
+    dt = 2 * 1.7320508 / 256
+    assert (gap <= 16 * dt + 1e-5).all(), gap.max()  # within one stride step
+    # (b) deltas are rescaled so opacity integrates comparably
+    base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
+                         budget_per_ray=256, num_candidates=256,
+                         min_near=0.05, occ_stride=1)
+    tight_opts = dataclasses.replace(base, budget_per_ray=16)
+    out_ref = render_rays(None, _SceneField, scene, occ.bitfield,
+                          rays["rays_o"], rays["rays_d"], base, bg_color=1.0)
+    out_tight = render_rays(None, _SceneField, scene, occ.bitfield,
+                            rays["rays_o"], rays["rays_d"], tight_opts,
+                            bg_color=1.0)
+    err = np.abs(np.asarray(out_tight["image"])
+                 - np.asarray(out_ref["image"]))[over].mean()
+    assert err < 0.08, err
+
+
+def test_mark_untrained_matches_corner_projection_oracle():
+    """mark_untrained's frustum test vs a brute-force oracle that projects
+    all 8 cell corners through every camera (the reference's exact method,
+    nerf/renderer.py:379-442): no cell the oracle keeps may be marked
+    untrained (over-marking loses scene content; extra kept cells only cost
+    occupancy-update queries)."""
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=3, h=24, w=24, seed=11)
+    occ = occupancy_init(cascades=1)
+    occ = mark_untrained(occ, jnp.asarray(ds.poses), jnp.asarray(ds.intrinsics),
+                         bound=1.0)
+    marked_untrained = np.asarray(occ.density_grid[0]) < 0
+
+    # oracle: cell corners through each camera; visible if ANY corner lands
+    # in ANY frustum in front of the camera
+    coords = np.asarray(morton3d_invert(jnp.arange(GRID_CELLS,
+                                                   dtype=jnp.uint32)))
+    lo = coords / 128.0 * 2.0 - 1.0           # cell min corner, bound=1
+    cell = 2.0 / 128.0
+    fx, fy, cx, cy = np.asarray(ds.intrinsics)
+    poses = np.asarray(ds.poses)
+    vis_any = np.zeros(GRID_CELLS, bool)
+    corners = np.array([[(i >> d) & 1 for d in range(3)] for i in range(8)],
+                       np.float32)
+    for c in corners:
+        pts = lo + c * cell                    # [N, 3] world corner
+        for pose in poses:
+            rel = pts - pose[:3, 3]
+            cam = rel @ pose[:3, :3]           # world->cam (R^T contraction)
+            z = cam[:, 2]
+            ok = (z > 1e-6) & (np.abs(cam[:, 0] / np.maximum(z, 1e-6)) < cx / fx) \
+                & (np.abs(cam[:, 1] / np.maximum(z, 1e-6)) < cy / fy)
+            vis_any |= ok
+    # no oracle-visible cell may be marked untrained
+    bad = vis_any & marked_untrained
+    assert bad.sum() == 0, f"{bad.sum()} visible cells over-marked"
+    # and the heuristic shouldn't keep dramatically more than the oracle
+    kept = (~marked_untrained).sum()
+    assert kept <= vis_any.sum() * 1.6 + 1000, (kept, vis_any.sum())
+
+
+def test_coarse_tighten_preserves_image():
+    """Per-ray coarse interval tightening must only remove empty space: the
+    rendered image matches the untightened one, and rays that miss all
+    content get zero valid candidates."""
+    import dataclasses
+
+    from seal3d_tpu.ops.raymarch import march_rays_grid
+
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=1, h=24, w=24, seed=9)
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
+                           density_thresh=0.01, full=True)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                         budget_per_ray=96, num_candidates=512, min_near=0.05)
+    tight = dataclasses.replace(base, coarse_steps=64, num_candidates=256)
+    out_ref = render_rays(None, _SceneField, scene, occ.bitfield,
+                          rays["rays_o"], rays["rays_d"], base, bg_color=1.0)
+    out_t = render_rays(None, _SceneField, scene, occ.bitfield,
+                        rays["rays_o"], rays["rays_d"], tight, bg_color=1.0)
+    err = np.abs(np.asarray(out_t["image"]) - np.asarray(out_ref["image"])).mean()
+    assert err < 5e-3, err
+    # empty rays cost nothing
+    m = march_rays_grid(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                        bound=1.0, cascades=1, dt_gamma=0.0, max_steps=512,
+                        k=96, num_candidates=256, min_near=0.05,
+                        coarse_steps=64)
+    per_ray = np.asarray(m.valid.sum(1))
+    img_ref = np.asarray(out_ref["weights_sum"])
+    assert (per_ray[img_ref < 1e-4] == 0).mean() > 0.95

@@ -48,3 +48,31 @@ def test_train_improves_psnr(tmp_path):
     assert int(tr.state.step) == step_before
     psnr2 = tr.evaluate(max_views=1)
     assert psnr2 > psnr0
+
+
+def test_adaptive_budget_fast_path():
+    """Occupancy fast path with adaptive_budget: mean_count EMA tracks valid
+    samples, the trainer picks a flat_frac bucket at grid-update boundaries,
+    and training still reduces the loss."""
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=4, h=32, w=32, seed=2)
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15)
+    opts = RenderOptions(bound=1.0, budget_per_ray=32, num_candidates=128,
+                         max_steps=256, min_near=0.05)
+    tcfg = TrainConfig(lr=1e-2, max_steps=400, num_rays=256,
+                       update_grid_interval=8, full_grid_updates=2,
+                       random_bg=False, adaptive_budget=True)
+    tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(1))
+    tr.init_state()
+    m0 = tr.train(steps=8, silent=True)
+    m1 = tr.train(steps=72, silent=True)
+    assert np.isfinite(m1["loss"]) and m1["loss"] < m0["loss"]
+    mc = float(tr.state.occ.mean_count)
+    assert mc > 0  # EMA engaged
+    # after full updates pass, a bucket should have been selected
+    assert tr.opts.flat_frac is None or 0 < tr.opts.flat_frac <= 1.0
+    # retune is stable: re-running doesn't thrash the cache
+    n_cached = len(tr._step_cache)
+    tr._retune_budget()
+    tr._retune_budget()
+    assert len(tr._step_cache) <= n_cached + 1
