@@ -8,9 +8,9 @@ kernel + adaptive sample budget, grid updates every 16 steps included), plus
 an 800x800 render throughput check, the PSNR of a short run, and the
 HARD-SCENE CAPACITY ABLATION the round-1 verdict demanded: the same recipe
 trained on a thin-structure/high-frequency scene (data/synthetic.HardSynthetic
-Scene) with the pallas T=2^14 fast path vs the reference-capacity xla T=2^19
-path, reporting both PSNRs and the gap. No NeRF dataset ships in this image,
-so both scenes are procedural analytic stand-ins.
+Scene) with the pallas T=2^15 fast path vs the reference-capacity bucket
+T=2^19 path, reporting both PSNRs and the gap. No NeRF dataset ships in this
+image, so both scenes are procedural analytic stand-ins.
 
 vs_baseline: the reference recipe trains 30k iters x 4096 rays in ~5 min on
 a single NVIDIA GPU (readme.md:91, assets/update_logs.md) ~= 410k train
@@ -61,37 +61,37 @@ def hard_capacity_ablation(steps=500):
     ds = _cached_dataset(HardSyntheticScene(), ".bench_dataset_hard.npz",
                          n_views=12, h=192, w=192)
     out = {}
-    for tag, backend, log2t, rays in (("pallas14", "pallas", 14, 4096),
-                                      ("xla19", "xla", 19, 2048)):
+    # arms: the -O fast path (fused kernel @2^15 — the capacity cliff sits
+    # at 2^14->2^15, full sweep in PERFORMANCE.md) vs full reference
+    # capacity via the sorted-bucket backend (take fwd + bucket scatter bwd
+    # @2^19 — 10x faster than the xla scatter it replaced).
+    for tag, backend, log2t, rays in (("pallas15", "pallas", 15, 4096),
+                                      ("bucket19", "bucket", 19, 2048)):
         fcfg = NGPConfig(bound=1.0, log2_hashmap_size=log2t,
                          grid_backend=backend)
         opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                              budget_per_ray=48, num_candidates=256,
                              min_near=0.05, coarse_steps=64)
-        # xla@19 eval materializes [chunk*budget, L, 8] gather indices/weights
-        # — keep chunk*budget ~2^18 or the 800x800 eval OOMs HBM.
+        # bucket@19 eval materializes [chunk*budget, L, 8] gather indices —
+        # keep chunk*budget ~2^18 or the 800x800 eval OOMs HBM.
         tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=rays,
-                           eval_chunk=2048 if backend == "xla" else 2**14,
+                           eval_chunk=2048 if backend == "bucket" else 2**14,
                            eval_budget_per_ray=96,
                            random_bg=False, adaptive_budget=True)
         tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
                      key=jax.random.PRNGKey(0))
         tr.init_state()
         t0 = time.time()
-        # xla@19's scatter-add backward is ~15x slower (measured
-        # scripts/bench_encode.py); equal STEPS is the quality comparison,
-        # wall-clocks are reported alongside.
-        n = steps if backend == "pallas" else max(steps // 2, 200)
-        tr.train(steps=n, silent=True, blocked=True, log_every=10**9)
+        tr.train(steps=steps, silent=True, blocked=True, log_every=10**9)
         _sync(tr.state.params)
         wall = time.time() - t0
         psnr = tr.evaluate(max_views=2)
         out[f"psnr_hard_{tag}"] = round(psnr, 2)
-        out[f"steps_hard_{tag}"] = n
+        out[f"steps_hard_{tag}"] = steps
         out[f"wall_hard_{tag}_s"] = round(wall, 1)
         del tr
     out["capacity_gap_db"] = round(
-        out["psnr_hard_xla19"] - out["psnr_hard_pallas14"], 2)
+        out["psnr_hard_bucket19"] - out["psnr_hard_pallas15"], 2)
     return out
 
 
@@ -106,7 +106,7 @@ def main():
     ds = _cached_dataset(SyntheticScene(), ".bench_dataset.npz")
     t_data = time.time() - t0
 
-    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=14, grid_backend="pallas")
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15, grid_backend="pallas")
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                          budget_per_ray=48, num_candidates=256,
                          min_near=0.05, coarse_steps=64)

@@ -64,7 +64,8 @@ def run_seal(args, field_mod, fcfg, make_trainer, name):
         if path and os.path.exists(path):
             if path.endswith(".pth"):
                 teacher.state = teacher.state._replace(
-                    params=ckpt_io.import_torch_ngp(path, teacher.state.params))
+                    params=ckpt_io.import_torch_ngp(
+                        path, teacher.state.params, grid_cfg=fcfg.grid))
             else:
                 teacher.load_checkpoint(path)
             loaded = True

@@ -38,7 +38,8 @@ def main():
         if path and os.path.exists(path):
             if path.endswith(".pth"):
                 tr.state = tr.state._replace(
-                    params=ckpt_io.import_torch_ngp(path, tr.state.params))
+                    params=ckpt_io.import_torch_ngp(
+                        path, tr.state.params, grid_cfg=fcfg.grid))
             else:
                 tr.load_checkpoint(path)
             print(f"[ckpt] loaded {path}")

@@ -48,7 +48,11 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    choices=["srgb", "linear"],
                    help="train against srgb images or linearized ones")
     p.add_argument("--grid_backend", type=str, default=None,
-                   choices=["xla", "pallas"])
+                   choices=["xla", "pallas", "bucket"],
+                   help="hash-grid gather path: 'pallas' = VMEM one-hot "
+                        "kernel (T <= 2^16), 'bucket' = reference-capacity "
+                        "take + sorted-bucket scatter (any T), 'xla' = plain "
+                        "gathers (slow backward at large T)")
     p.add_argument("--coarse_steps", type=int, default=64,
                    help="per-ray coarse interval tightening steps "
                         "(0 disables; only active for single-cascade scenes)")
@@ -107,7 +111,10 @@ def load_dataset(args, split: str = "trainval"):
 
 def grid_defaults(args):
     """Resolve backend/table-size defaults: -O selects the TPU-native pallas
-    operating point (T=2^14); plain mode keeps reference-parity XLA T=2^19."""
+    operating point at T=2^15 — the capacity cliff sits at 2^14 -> 2^15
+    (hard scene: +18.8 dB, PERFORMANCE.md) and the bf16 VMEM stack makes
+    2^15 the fastest fwd+bwd point of the fused kernel. 'bucket' (or plain
+    mode) keeps reference-parity T=2^19."""
     backend = args.grid_backend or ("pallas" if args.O else "xla")
-    log2 = args.log2_hashmap_size or (14 if backend == "pallas" else 19)
+    log2 = args.log2_hashmap_size or (15 if backend == "pallas" else 19)
     return backend, log2

@@ -54,11 +54,13 @@ class HashGridConfig:
     align_corners: bool = False
     interpolation: str = "linear"  # 'linear' | 'smoothstep'
     input_dim: int = 3  # 2 for the background sphere encoder
-    # 'xla' gathers via jnp.take (any table size); 'pallas' routes lookups
-    # through the blocked one-hot MXU kernel (ops/pallas/lookup.py) — every
-    # level is padded to the full 2^log2_hashmap_size so the level stack is
-    # one [L, F, R, 128] VMEM-resident array. TPU-native configs should use
-    # 'pallas' with log2_hashmap_size <= 16.
+    # 'xla': jnp.take gathers, autodiff scatter backward (any size; backward
+    #   is ~24M rows/s — fine for small tables, 2s/step at 2^19).
+    # 'pallas': blocked one-hot MXU kernel (ops/pallas/hash_encode.py);
+    #   cost LINEAR in table size — use log2_hashmap_size <= 14.
+    # 'bucket': reference-capacity path — XLA gather forward + sorted-bucket
+    #   Pallas scatter backward (ops/pallas/bucket_grad.py); cost independent
+    #   of table size, native per-level sizing like 'xla'.
     backend: str = "xla"
 
     @cached_property
@@ -92,7 +94,9 @@ class HashGridConfig:
             dense_size = resolution**self.input_dim
             # Align each level's block to 8 entries (matches reference layout
             # logic in gridencoder/grid.py). The pallas backend pads every
-            # level to the full table so levels stack uniformly.
+            # level to the full table so levels stack uniformly (one kernel
+            # loop region — Mosaic does not share stack slots across unrolled
+            # regions, so mixed-size level unrolling blows scoped VMEM).
             if self.backend == "pallas":
                 params_in_level = hashmap_size
             else:
@@ -141,6 +145,88 @@ def _corner_indices(pos0: jnp.ndarray, resolution: int, use_hash: bool,
     return (idx % jnp.uint32(params_in_level)).astype(jnp.int32)
 
 
+def corner_indices_weights(xf: jnp.ndarray, cfg: HashGridConfig):
+    """All levels' corner indices and interpolation weights.
+
+    Args:
+      xf: [M, dim] positions in [0, 1].
+    Returns:
+      idx: [M, L, 2^dim] int32 GLOBAL table indices (level offsets applied).
+      w:   [M, L, 2^dim] f32 interpolation weights.
+    """
+    dim = cfg.input_dim
+    corners = jnp.asarray(_corner_offsets(dim), dtype=jnp.int32)
+    all_idx, all_w = [], []
+    for resolution, offset, params_in_level, use_hash, scale in cfg.level_params:
+        # Fractional interp scale (base*g^l - 1), NOT resolution-1 — matches
+        # the reference kernel exactly (gridencoder.cu:138,148).
+        pos = xf * scale + (0.0 if cfg.align_corners else 0.5)
+        # Guard inputs slightly outside [0,1]; at the top edge frac becomes 0
+        # so the (clipped) +1 corner gets zero weight.
+        pos = jnp.clip(pos, 0.0, float(resolution - 1))
+        pos0 = jnp.floor(pos)
+        frac = pos - pos0
+        if cfg.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        cpos = pos0[:, None, :] + corners[None, :, :]  # [M, 2^dim, dim]
+        cpos = jnp.clip(cpos, 0, resolution - 1)
+        idx = _corner_indices(cpos, resolution, use_hash, params_in_level, dim) + offset
+        w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
+        w = w.prod(-1)  # [M, 2^dim]
+        all_idx.append(idx)
+        all_w.append(w)
+    return jnp.stack(all_idx, axis=1), jnp.stack(all_w, axis=1)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bucket_encode(table, xf, cfg: HashGridConfig):
+    """Reference-capacity encode: XLA row-gather forward + sorted-bucket
+    Pallas scatter backward (ops/pallas/bucket_grad.py). Any table size —
+    the backward cost is linear in requests, independent of T (the XLA
+    autodiff scatter-add it replaces measured 2.05 s/step at T=2^19)."""
+    out, _ = _bucket_encode_fwd(table, xf, cfg)
+    return out
+
+
+def _bucket_encode_fwd(table, xf, cfg):
+    m = xf.shape[0]
+    f_dim = table.shape[-1]
+    idx, w = corner_indices_weights(xf, cfg)
+    feats = jnp.take(table, idx.reshape(m, -1), axis=0).reshape(
+        m, cfg.num_levels, 2**cfg.input_dim, f_dim)
+    out = (feats * w[..., None]).sum(axis=2)  # [M, L, F]
+    return out, (xf, idx, feats)
+
+
+def _bucket_encode_bwd(cfg, res, g):
+    from seal3d_tpu.ops.pallas.bucket_grad import bucket_scatter_add
+
+    xf, idx, feats = res
+    m = xf.shape[0]
+    f_dim = feats.shape[-1]
+    g3 = g.reshape(m, cfg.num_levels, f_dim)
+    # dL/dtable: each corner request contributes g * w
+    _, w = corner_indices_weights(xf, cfg)
+    greq = (g3[:, :, None, :] * w[..., None]).reshape(-1, f_dim)
+    dtable = bucket_scatter_add(idx.reshape(-1), greq, cfg.total_params)
+    # dL/dx through the interpolation weights (the reference's optional
+    # dy_dx path, gridencoder.cu:198-241): w depends on x elementwise.
+    gw = jnp.einsum("mlf,mlcf->mlc", g3, feats)  # [M, L, 2^dim]
+
+    def w_dot(xx):
+        _, ww = corner_indices_weights(xx, cfg)
+        return (ww * gw).sum()
+
+    dx = jax.grad(w_dot)(xf)
+    return dtable, dx
+
+
+_bucket_encode.defvjp(_bucket_encode_fwd, _bucket_encode_bwd)
+
+
 def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
     """Encode positions.
 
@@ -166,42 +252,26 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
     m = xf.shape[0]
 
     if cfg.backend == "pallas" and dim == 3 and not cfg.align_corners:
-        # fully-fused kernel: index math + interpolation + lookup in VMEM
+        # fully-fused kernel: index math + interpolation + lookup in VMEM.
+        # Stack layout [L, rows, F*128]: feature f of entry (row, lane) at
+        # column f*128+lane (cast to bf16 inside — halves the VMEM-resident
+        # bytes, which is what lets T=2^15 fit).
         from seal3d_tpu.ops.pallas.hash_encode import hash_encode_fused
 
         t = 2**cfg.log2_hashmap_size
         rows = max(t // 128, 1)
         stack = table.reshape(cfg.num_levels, rows, 128, f_dim)
-        stack = stack.transpose(0, 3, 1, 2)  # [L, F, R, 128]
+        stack = stack.transpose(0, 1, 3, 2).reshape(cfg.num_levels, rows,
+                                                    f_dim * 128)
         out = hash_encode_fused(stack, xf, cfg)
         return out.reshape(*batch_shape, cfg.num_levels * f_dim)
 
-    corners = jnp.asarray(_corner_offsets(dim), dtype=jnp.int32)  # [2^dim, dim]
+    if cfg.backend == "bucket":
+        out = _bucket_encode(table, xf, cfg)
+        return out.reshape(*batch_shape, cfg.num_levels * f_dim)
+
+    idx, w = corner_indices_weights(xf, cfg)
     n_corners = 2**dim
-
-    all_idx = []
-    all_w = []
-    for resolution, offset, params_in_level, use_hash, scale in cfg.level_params:
-        # Fractional interp scale (base*g^l - 1), NOT resolution-1 — matches
-        # the reference kernel exactly (gridencoder.cu:138,148).
-        pos = xf * scale + (0.0 if cfg.align_corners else 0.5)
-        # Guard inputs slightly outside [0,1]; at the top edge frac becomes 0 so
-        # the (clipped) +1 corner gets zero weight.
-        pos = jnp.clip(pos, 0.0, float(resolution - 1))
-        pos0 = jnp.floor(pos)
-        frac = pos - pos0
-        if cfg.interpolation == "smoothstep":
-            frac = frac * frac * (3.0 - 2.0 * frac)
-        cpos = pos0[:, None, :] + corners[None, :, :]  # [M, 2^dim, dim]
-        cpos = jnp.clip(cpos, 0, resolution - 1)
-        idx = _corner_indices(cpos, resolution, use_hash, params_in_level, dim) + offset
-        w = jnp.where(corners[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
-        w = w.prod(-1)  # [M,8]
-        all_idx.append(idx)
-        all_w.append(w)
-
-    idx = jnp.stack(all_idx, axis=1)  # [M, L, 2^dim]
-    w = jnp.stack(all_w, axis=1)  # [M, L, 2^dim]
     if cfg.backend == "pallas":
         from seal3d_tpu.ops.pallas.lookup import multilevel_lookup
 
@@ -253,6 +323,34 @@ def hashgrid_encode_stacked(tables, x: jnp.ndarray, cfg: HashGridConfig):
         parts.append(part.reshape(*part.shape[:-2], cfg.num_levels * f))
         start += f
     return parts
+
+
+def convert_table_layout(table: jnp.ndarray, cfg_src: HashGridConfig,
+                         cfg_dst: HashGridConfig) -> jnp.ndarray:
+    """Re-pack a flat table between backend layouts (per-level offsets differ:
+    xla rounds levels to 8 entries, the fused pallas kernel to 1024).
+
+    Only valid at equal hashmap size/level geometry — hashed levels must have
+    identical index masks or entries would be meaningless. Extra destination
+    padding is zero-filled; truncated source padding was never addressed.
+    Used by checkpoint import to load reference-layout (.pth) tables into
+    pallas configs (train/checkpoint.py).
+    """
+    if cfg_src.log2_hashmap_size != cfg_dst.log2_hashmap_size:
+        raise ValueError("cannot convert between different hashmap sizes: "
+                         f"{cfg_src.log2_hashmap_size} vs {cfg_dst.log2_hashmap_size}")
+    parts = []
+    for (r1, off1, n1, uh1, _s1), (r2, off2, n2, uh2, _s2) in zip(
+            cfg_src.level_params, cfg_dst.level_params):
+        if r1 != r2 or uh1 != uh2:
+            raise ValueError("level geometry mismatch")
+        blk = table[off1:off1 + min(n1, n2)]
+        if n2 > blk.shape[0]:
+            blk = jnp.concatenate(
+                [blk, jnp.zeros((n2 - blk.shape[0], table.shape[-1]),
+                                table.dtype)])
+        parts.append(blk)
+    return jnp.concatenate(parts)
 
 
 def hashgrid_tv_loss(table: jnp.ndarray, cfg: HashGridConfig, level: int = 0) -> jnp.ndarray:

@@ -10,16 +10,23 @@ VMEM. The XLA-side per-level index/weight materialization (which cost more
 than the lookups themselves) disappears.
 
 The level loop is a fori_loop with per-level constants (scale/resolution/
-hash-vs-tiled) streamed from SMEM so the compiled program stays small; the
-8-corner loop is unrolled. Backward recomputes indices/weights and
-accumulates grad tables with the transposed matmul across the sequential
-grid (atomic-free; the reference needs __half2 atomics,
-gridencoder.cu:322-328).
+hash-vs-tiled) streamed from SMEM so the compiled program stays one loop
+region (Mosaic does not share stack slots across unrolled regions — a
+native-per-level-size variant OOM'd scoped VMEM); the 8-corner loop is
+unrolled. The level stack is **bf16** in [L, rows, F*128] layout (feature f
+of entry (row, lane) at column f*128+lane): the forward matmuls ran bf16
+anyway, and halving the resident table bytes is what lets the fast path run
+T=2^15 VMEM-resident (the quality cliff on the hard scene sits at
+2^14 -> 2^15: +18.8 dB, see PERFORMANCE.md). Backward recomputes
+indices/weights and accumulates an f32 gradient stack with transposed
+matmuls across the sequential grid (atomic-free; the reference needs
+__half2 atomics, gridencoder.cu:322-328).
 
-Constraints: all levels share one table size T = R*128 (backend='pallas'
-pads levels), T <= 2^16 keeps the level stack VMEM-resident; input grads
-(dL/dx) are not propagated (positions are not trainable — matches the
-reference default, dy_dx off, gridencoder/grid.py:27).
+Constraints: all levels share one table size T = rows*128 (backend='pallas'
+pads levels); the bf16 stack + f32 gradient stack must fit VMEM — T <= 2^15
+at F=4 (4.2 MB fwd / 8.4 MB bwd); input grads (dL/dx) are not propagated
+(positions are not trainable — matches the reference default, dy_dx off,
+gridencoder/grid.py:27).
 """
 
 from __future__ import annotations
@@ -64,7 +71,8 @@ def _corner_setup(xs, scale, resolution, smoothstep):
 
 
 def _corner_idx_w(pos0, frac, corner, resolution, use_hash, t_size):
-    """One corner's (idx [ps,128] int32, weight [ps,128] f32)."""
+    """One corner's (idx [ps,128] int32, weight [ps,128] f32); `use_hash`
+    is a traced per-level scalar, `t_size` static."""
     res_m1 = resolution - 1
     cpos = [jnp.minimum(pos0[d] + corner[d], res_m1) for d in range(3)]
     h = cpos[0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
@@ -85,12 +93,12 @@ def _make_fwd_kernel(levels, f_dim, rows, smoothstep):
     t_size = rows * LANES
     ck = min(rows, LANES)
     n_chunks = rows // ck
-    dn = (((2,), (0,)), ((), ()))
 
     def kernel(scale_ref, res_ref, hash_ref, x_ref, tab_ref, out_ref):
         ps = x_ref.shape[2]
         xs = [x_ref[0, d] for d in range(3)]
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+        lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
 
         def level_body(l, _):
             scale = scale_ref[l]
@@ -103,21 +111,17 @@ def _make_fwd_kernel(levels, f_dim, rows, smoothstep):
                                        use_hash, t_size)
                 hi = idx >> 7
                 lo = idx & 127
-                b3 = lo[:, :, None] == lane3
-                a3s = [(hi[:, :, None] == lane3[:, :, :ck] + k * ck
-                        ).astype(jnp.bfloat16) for k in range(n_chunks)]
-                # one wide matmul covering all F features: [.,128] @ [128, F*128]
-                rowsums = []
+                b3 = lo[:, :, None] == lane
+                rowsum = None
                 for k in range(n_chunks):
-                    wide = jnp.concatenate(
-                        [tab_ref[l, f, pl.ds(k * ck, ck), :]
-                         for f in range(f_dim)], axis=-1).astype(jnp.bfloat16)
-                    rs = jax.lax.dot_general(a3s[k], wide, dn,
-                                             preferred_element_type=jnp.float32)
-                    rowsums.append(rs)
-                rowsum = rowsums[0]
-                for rs in rowsums[1:]:
-                    rowsum = rowsum + rs
+                    a3 = (hi[:, :, None] == lane_ck + k * ck
+                          ).astype(jnp.bfloat16)
+                    # [ck, F*128] — the whole feature-wide chunk in one slice
+                    wide = tab_ref[l, pl.ds(k * ck, ck), :]
+                    rs = jax.lax.dot_general(
+                        a3, wide, (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    rowsum = rs if rowsum is None else rowsum + rs
                 for f in range(f_dim):
                     val = jnp.where(
                         b3, rowsum[:, :, f * LANES:(f + 1) * LANES], 0.0
@@ -146,7 +150,8 @@ def _make_bwd_kernel(levels, f_dim, rows, smoothstep):
 
         ps = x_ref.shape[2]
         xs = [x_ref[0, d] for d in range(3)]
-        lane3 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+        lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
 
         def level_body(l, _):
             scale = scale_ref[l]
@@ -158,19 +163,21 @@ def _make_bwd_kernel(levels, f_dim, rows, smoothstep):
                                        use_hash, t_size)
                 hi = idx >> 7
                 lo = idx & 127
-                b3 = lo[:, :, None] == lane3
-                a3s = [(hi[:, :, None] == lane3[:, :, :ck] + k * ck
-                        ).astype(jnp.bfloat16).reshape(ps * LANES, ck)
-                       for k in range(n_chunks)]
-                for f in range(f_dim):
-                    gw = g_ref[0, l * f_dim + f] * w
-                    gb = jnp.where(b3, gw[:, :, None], 0.0).astype(
-                        jnp.bfloat16).reshape(ps * LANES, LANES)
-                    for k in range(n_chunks):
-                        upd = jnp.dot(a3s[k].T, gb,
-                                      preferred_element_type=jnp.float32)
-                        cur = gtab_ref[l, f, pl.ds(k * ck, ck), :]
-                        gtab_ref[l, f, pl.ds(k * ck, ck), :] = cur + upd
+                b3 = lo[:, :, None] == lane
+                # [P, F*128]: column f*128+lane holds onehot(lo)*g_f*w
+                gb_wide = jnp.concatenate(
+                    [jnp.where(b3, (g_ref[0, l * f_dim + f] * w)[:, :, None],
+                               0.0) for f in range(f_dim)],
+                    axis=2).astype(jnp.bfloat16).reshape(
+                        ps * LANES, f_dim * LANES)
+                for k in range(n_chunks):
+                    a3 = (hi[:, :, None] == lane_ck + k * ck
+                          ).astype(jnp.bfloat16).reshape(ps * LANES, ck)
+                    upd = jax.lax.dot_general(
+                        a3, gb_wide, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    cur = gtab_ref[l, pl.ds(k * ck, ck), :]
+                    gtab_ref[l, pl.ds(k * ck, ck), :] = cur + upd
             return 0
 
         jax.lax.fori_loop(0, levels, level_body, 0)
@@ -179,18 +186,19 @@ def _make_bwd_kernel(levels, f_dim, rows, smoothstep):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def hash_encode_fused(tables, x, cfg, tile: int = 1024):
+def hash_encode_fused(stack, x, cfg, tile: int = 1024):
     """Fused hash-grid encode.
 
     Args:
-      tables: [L, F, R, 128] f32 level stack.
+      stack: [L, rows, F*128] f32 level stack (feature f of entry
+        (row, lane) at column f*128+lane); cast to bf16 on entry.
       x: [M, 3] positions in [0, 1].
       cfg: HashGridConfig with backend='pallas'.
       tile: points per grid step.
     Returns:
-      [M, L*F] features (level-major).
+      [M, L*F] f32 features (level-major).
     """
-    return _fused_fwd_impl(tables, x, cfg, tile)
+    return _fused_fwd_impl(stack, x, cfg, tile)
 
 
 def _prep_x(x, tile):
@@ -203,7 +211,7 @@ def _prep_x(x, tile):
     return x4, n_tiles, ps, pad
 
 
-def _const_specs(levels):
+def _const_specs():
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -211,8 +219,9 @@ def _const_specs(levels):
     ]
 
 
-def _fused_fwd_impl(tables, x, cfg, tile):
-    levels, f_dim, rows, _ = tables.shape
+def _fused_fwd_impl(stack, x, cfg, tile):
+    levels, rows, fw = stack.shape
+    f_dim = fw // LANES
     m = x.shape[0]
     x4, n_tiles, ps, pad = _prep_x(x, tile)
     scales, resolutions, use_hash = _level_const_arrays(cfg)
@@ -221,30 +230,33 @@ def _fused_fwd_impl(tables, x, cfg, tile):
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_const_specs(levels) + [
+        in_specs=_const_specs() + [
             pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((levels, f_dim, rows, LANES), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((levels, rows, fw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, levels * f_dim, ps, LANES),
                                lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, levels * f_dim, ps, LANES),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(jnp.asarray(scales), jnp.asarray(resolutions), jnp.asarray(use_hash),
-      x4, tables)
+      x4, stack.astype(jnp.bfloat16))
     out = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, levels * f_dim)
     return out[:m]
 
 
-def _fused_fwd(tables, x, cfg, tile):
-    return _fused_fwd_impl(tables, x, cfg, tile), (tables, x)
+def _fused_fwd(stack, x, cfg, tile):
+    return _fused_fwd_impl(stack, x, cfg, tile), (stack, x)
 
 
 def _fused_bwd(cfg, tile, res, g):
-    tables, x = res
-    levels, f_dim, rows, _ = tables.shape
+    stack, x = res
+    levels, rows, fw = stack.shape
+    f_dim = fw // LANES
     m = x.shape[0]
     x4, n_tiles, ps, pad = _prep_x(x, tile)
     g_p = jnp.pad(g, ((0, pad), (0, 0)))
@@ -255,15 +267,17 @@ def _fused_bwd(cfg, tile, res, g):
     gtab = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=_const_specs(levels) + [
+        in_specs=_const_specs() + [
             pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, levels * f_dim, ps, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((levels, f_dim, rows, LANES),
-                               lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((levels, f_dim, rows, LANES), jnp.float32),
+        out_specs=pl.BlockSpec((levels, rows, fw), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, rows, fw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(jnp.asarray(scales), jnp.asarray(resolutions), jnp.asarray(use_hash),
       x4, g4)

@@ -141,6 +141,8 @@ def _lookup_fwd_impl(tables, idx, tile):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((levels, n_tiles, f_dim, ps, LANES),
                                        jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(idx4, tables)
     out = out.transpose(0, 1, 3, 4, 2).reshape(levels, n_tiles * tile, f_dim)
@@ -171,6 +173,8 @@ def _lookup_bwd(tile, res, g):
                                lambda l, i: (l, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((levels, f_dim, rows, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(idx4, g5)
     return gtab, None

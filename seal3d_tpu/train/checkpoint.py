@@ -81,17 +81,32 @@ def latest_checkpoint(directory: str, name: str):
 _TORCH_NGP_LAYER = re.compile(r"(sigma_net|color_net|bg_net)\.(\d+)\.weight")
 
 
-def export_torch_ngp(path: str, params: dict, step: int = 0):
+def export_torch_ngp(path: str, params: dict, step: int = 0, grid_cfg=None):
     """Write our NGP params as a reference-compatible torch .pth checkpoint
     (state_dict naming of nerf/network.py; SURVEY.md §5.4 compatibility
-    surface) so the CUDA reference can load models trained here."""
+    surface) so the CUDA reference can load models trained here. Pass
+    `grid_cfg` for pallas-backend params so tables are re-packed into the
+    reference's xla level layout."""
+    import dataclasses
+
     import torch
 
+    from seal3d_tpu.ops.hashgrid import convert_table_layout
+
+    def from_table(tab):
+        if grid_cfg is not None and grid_cfg.backend == "pallas":
+            ref_cfg = dataclasses.replace(grid_cfg, backend="xla")
+            tab = convert_table_layout(jnp.asarray(tab), grid_cfg, ref_cfg)
+        return np.asarray(tab)
+
     sd = {}
-    for enc in ("encoder", "encoder_color", "encoder_bg"):
+    for enc in ("encoder", "encoder_color"):
         if enc in params:
             sd[f"{enc}.embeddings"] = torch.from_numpy(
-                np.asarray(params[enc]).copy())
+                from_table(params[enc]).copy())
+    if "encoder_bg" in params:
+        sd["encoder_bg.embeddings"] = torch.from_numpy(
+            np.asarray(params["encoder_bg"]).copy())
     for net in ("sigma_net", "color_net", "bg_net"):
         if net in params:
             for i, layer in enumerate(params[net]):
@@ -101,15 +116,22 @@ def export_torch_ngp(path: str, params: dict, step: int = 0):
                path)
 
 
-def import_torch_ngp(pth_path: str, params: dict) -> dict:
+def import_torch_ngp(pth_path: str, params: dict, grid_cfg=None) -> dict:
     """Map a reference torch-ngp/Seal-3D NGP checkpoint (.pth) onto our param
     tree. Requires torch (CPU) to deserialize.
 
     Reference layout (nerf/network.py): `encoder.embeddings [T, F]`,
     `encoder_color.embeddings`, `{sigma,color,bg}_net.{i}.weight [out, in]`
-    (bias-free Linears — ours store transposed [in, out]).
+    (bias-free Linears — ours store transposed [in, out]). Reference tables
+    use the xla level layout (8-entry alignment); pass `grid_cfg` (the 3D
+    HashGridConfig of `params`) so pallas-backend tables are re-packed into
+    the fused kernel's 1024-aligned layout.
     """
+    import dataclasses
+
     import torch
+
+    from seal3d_tpu.ops.hashgrid import convert_table_layout
 
     ckpt = torch.load(pth_path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
@@ -118,11 +140,18 @@ def import_torch_ngp(pth_path: str, params: dict) -> dict:
     def to_np(t):
         return np.asarray(t.detach().float().numpy())
 
+    def to_table(v, like):
+        tab = jnp.asarray(to_np(v))
+        if grid_cfg is not None and tab.shape != like.shape:
+            ref_cfg = dataclasses.replace(grid_cfg, backend="xla")
+            tab = convert_table_layout(tab, ref_cfg, grid_cfg)
+        return tab
+
     for k, v in sd.items():
         if k.endswith("encoder.embeddings"):
-            out["encoder"] = jnp.asarray(to_np(v))
+            out["encoder"] = to_table(v, out["encoder"])
         elif k.endswith("encoder_color.embeddings"):
-            out["encoder_color"] = jnp.asarray(to_np(v))
+            out["encoder_color"] = to_table(v, out["encoder_color"])
         elif k.endswith("encoder_bg.embeddings") and "encoder_bg" in out:
             out["encoder_bg"] = jnp.asarray(to_np(v))
         else:

@@ -30,6 +30,34 @@ def test_torch_pth_roundtrip(tmp_path):
     np.testing.assert_allclose(c0, c1, rtol=1e-5)
 
 
+def test_torch_pth_cross_layout(tmp_path):
+    """A reference-layout .pth exported from pallas params loads back into a
+    pallas config (layout conversion both ways) and encodes identically."""
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.ops.hashgrid import hashgrid_encode
+    from seal3d_tpu.train.checkpoint import export_torch_ngp, import_torch_ngp
+
+    cfg_p = NGPConfig(bound=1.0, log2_hashmap_size=12, grid_backend="pallas")
+    cfg_x = NGPConfig(bound=1.0, log2_hashmap_size=12, grid_backend="xla")
+    params = ngp.init(jax.random.PRNGKey(0), cfg_p)
+    p = str(tmp_path / "model.pth")
+    export_torch_ngp(p, params, grid_cfg=cfg_p.grid)
+
+    # loads into an xla config without conversion...
+    loaded_x = import_torch_ngp(p, ngp.init(jax.random.PRNGKey(1), cfg_x),
+                                grid_cfg=cfg_x.grid)
+    # ...and back into a pallas config via conversion
+    loaded_p = import_torch_ngp(p, ngp.init(jax.random.PRNGKey(2), cfg_p),
+                                grid_cfg=cfg_p.grid)
+    np.testing.assert_allclose(loaded_p["encoder"], params["encoder"],
+                               rtol=1e-6)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (40, 3))
+    out_p = hashgrid_encode(params["encoder"], x, cfg_p.grid)
+    out_x = hashgrid_encode(loaded_x["encoder"], x, cfg_x.grid)
+    np.testing.assert_allclose(out_p, out_x, rtol=2e-2, atol=2e-2)
+
+
 def test_error_map_training(tmp_path):
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.models import ngp
