@@ -1,6 +1,7 @@
 """D-NeRF (dynamic scenes) CLI (equivalent of reference main_dnerf.py)."""
 
 import os
+import dataclasses
 
 import jax
 import numpy as np
@@ -18,20 +19,33 @@ def main():
                         choices=["deform", "basis", "hyper"])
     parser.add_argument("--time_size", type=int, default=64)
     parser.add_argument("--deform_reg", type=float, default=0.0)
+    parser.add_argument("--sigma_reg", type=float, default=0.0,
+                        help="L1 density sparsity at random points (floater "
+                             "suppression for sparse-view dynamic captures)")
+    parser.add_argument("--time_multires", type=int, default=6,
+                        help="frequency octaves of the time encoding "
+                             "(reference default 6; LOW values force the "
+                             "warp to vary smoothly in time, which shares "
+                             "geometry constraints across frames — use 1-2 "
+                             "for sparse-view dynamic captures)")
     args = parser.parse_args()
     seed_everything(args.seed)
     backend, log2t = grid_defaults(args)
 
     fcfg = DNeRFConfig(bound=args.bound, variant=args.variant,
                        log2_hashmap_size=log2t, grid_backend=backend,
-                       gridtype="tiled" if backend == "xla" else "hash")
+                       gridtype="tiled" if backend == "xla" else "hash",
+                       time_multires=args.time_multires)
     opts = build_options(args)
     tcfg = build_train_config(args)
+    # reference D-NeRF trains MLPs at lr_net = lr/10 (main_dnerf.py:25)
+    tcfg = dataclasses.replace(tcfg, lr_net_scale=0.1)
     ds = load_dataset(args, "trainval" if not args.test else "test")
 
     tr = DNeRFTrainer(fcfg, opts, tcfg, dataset=ds,
                       key=jax.random.PRNGKey(args.seed),
                       time_size=args.time_size, deform_reg=args.deform_reg,
+                      sigma_reg=args.sigma_reg,
                       use_dense=args.dense_render)
     tr.init_state()
 

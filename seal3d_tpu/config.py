@@ -56,6 +56,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
     p.add_argument("--coarse_steps", type=int, default=64,
                    help="per-ray coarse interval tightening steps "
                         "(0 disables; only active for single-cascade scenes)")
+    p.add_argument("--num_candidates", type=int, default=None,
+                   help="march candidate ladder length (default: 256 when "
+                        "coarse tightening is active and dt_gamma == 0, "
+                        "else max_steps)")
     p.add_argument("--adaptive_budget", action="store_true", default=None,
                    help="adapt the sample budget to measured occupancy "
                         "(the reference mean_count analog); on with -O")
@@ -73,9 +77,18 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
 
 def build_options(args) -> RenderOptions:
     coarse = getattr(args, "coarse_steps", 64)
+    num_candidates = getattr(args, "num_candidates", None)
+    if num_candidates is None:
+        # With per-ray coarse tightening the ladder only spans the occupied
+        # interval, so 256 uniform (dt_gamma=0) candidates cover it — halves
+        # the dominant march gather (bench.py operating point).
+        if coarse > 0 and args.dt_gamma == 0:
+            num_candidates = min(args.max_steps, 256)
+        else:
+            num_candidates = args.max_steps
     return RenderOptions(
         bound=args.bound, dt_gamma=args.dt_gamma, max_steps=args.max_steps,
-        budget_per_ray=args.budget_per_ray, num_candidates=args.max_steps,
+        budget_per_ray=args.budget_per_ray, num_candidates=num_candidates,
         num_steps=args.num_steps, upsample_steps=args.upsample_steps,
         min_near=args.min_near, bg_radius=args.bg_radius,
         coarse_steps=coarse)

@@ -27,9 +27,11 @@ class DNeRFTrainer(Trainer):
     def __init__(self, field_cfg: dnerf.DNeRFConfig, opts, cfg: TrainConfig,
                  dataset=None, key=None, mesh=None, name: str = "dnerf",
                  time_size: int = 64, deform_reg: float = 0.0,
+                 sigma_reg: float = 0.0,
                  slices_per_update: int = 8, use_dense: bool = False):
         self.time_size = time_size
         self.deform_reg = deform_reg
+        self.sigma_reg = sigma_reg
         self.slices_per_update = slices_per_update
         super().__init__(dnerf, field_cfg, opts, cfg, dataset=dataset, key=key,
                          mesh=mesh, use_dense=use_dense, name=name)
@@ -76,6 +78,15 @@ class DNeRFTrainer(Trainer):
                     out["depth"])[:, None] * batch["rays_d"]
                 dx = dnerf.deformation(params, fcfg, xs, batch["time"])
                 loss = loss + self.deform_reg * jnp.abs(dx).mean()
+            if self.sigma_reg > 0:
+                # L1 density sparsity at uniform random points at this
+                # batch's time (DVGO/Plenoxels-style): dynamic captures see
+                # each time from only a few views, so unobserved floaters
+                # survive the photometric loss; this pulls them to zero.
+                xr = jax.random.uniform(key, (4096, 3), minval=-opts.bound,
+                                        maxval=opts.bound)
+                sr = dnerf.density(params, fcfg, xr, batch["time"])["sigma"]
+                loss = loss + self.sigma_reg * sr.mean()
             return loss, out
 
         def train_step(state: TrainState, key):
@@ -87,10 +98,18 @@ class DNeRFTrainer(Trainer):
             rays = get_rays(kray, pose, self._intrinsics, h, w, cfg.num_rays)
             img = self._images[img_idx].reshape(h * w, -1).astype(jnp.float32) / 255.0
             gt = jnp.take(img, rays["inds"], axis=0)
-            bg = (jax.random.uniform(kbg, (cfg.num_rays, 3)) if cfg.random_bg
-                  else jnp.ones((cfg.num_rays, 3)))
-            if gt.shape[-1] == 4:
+            # Random background ONLY when gt has alpha to composite onto
+            # (base trainer rule, reference nerf/utils.py:465-476). RGB-only
+            # gt is baked on white: training it against a random bg forces
+            # the field to fill space with opaque white fog — measured as a
+            # ~17 dB held-out deficit vs the NGP pipeline before this guard.
+            if cfg.random_bg and gt.shape[-1] == 4:
+                bg = jax.random.uniform(kbg, (cfg.num_rays, 3))
                 gt = gt[:, :3] * gt[:, 3:] + bg * (1.0 - gt[:, 3:])
+            else:
+                bg = jnp.ones((cfg.num_rays, 3))
+                if gt.shape[-1] == 4:
+                    gt = gt[:, :3] * gt[:, 3:] + bg * (1.0 - gt[:, 3:])
             batch = shard_rays({"rays_o": rays["rays_o"], "rays_d": rays["rays_d"],
                                 "gt": gt, "bg": bg}, self.mesh)
             batch["time"] = t
@@ -138,15 +157,17 @@ class DNeRFTrainer(Trainer):
         self._grid_cursor = 0
 
         def render_eval(params, bitfield, rays_o, rays_d, bg, key, t):
-            timed = dnerf.with_time(t)
-            from seal3d_tpu.render.renderer import RenderOptions
+            import dataclasses
 
-            eval_opts = RenderOptions(
-                bound=opts.bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
-                budget_per_ray=cfg.eval_budget_per_ray,
-                num_candidates=opts.num_candidates, num_steps=opts.num_steps,
-                upsample_steps=opts.upsample_steps, min_near=opts.min_near,
-                density_scale=opts.density_scale)
+            timed = dnerf.with_time(t)
+            # Inherit the full RenderOptions (like the base trainer): a
+            # hand-built subset silently dropped coarse_steps, so the
+            # 256-candidate eval ladder started at the AABB entry and
+            # truncated everything beyond 256*dt_min (~1.7 units) — eval
+            # PSNR capped ~16 dB while training was fine.
+            eval_opts = dataclasses.replace(
+                opts, budget_per_ray=cfg.eval_budget_per_ray,
+                flat_frac=cfg.eval_flat_frac)
             if self.use_dense:
                 return render_rays_dense(params, timed, fcfg, rays_o, rays_d,
                                          eval_opts, key=key, bg_color=bg)

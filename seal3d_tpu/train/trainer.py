@@ -59,8 +59,33 @@ class TrainConfig:
     adaptive_budget: bool = False
     budget_buckets: tuple = (0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
     color_space: str = "srgb"  # 'linear' converts gt (reference --color_space)
+    # LR multiplier for non-encoder params (the MLPs). The reference trains
+    # D-NeRF nets at lr_net=1e-3 vs encoder lr=1e-2 (main_dnerf.py:25,
+    # dnerf/network.py:255-264); NGP uses one lr for both.
+    lr_net_scale: float = 1.0
     max_keep_ckpt: int = 2
     workspace: Optional[str] = None
+
+
+def _scale_non_encoder(scale: float):
+    """Optax transform: multiply updates of non-encoder param groups (MLPs)
+    by `scale` — the functional form of the reference's per-group LRs
+    (dnerf/network.py:255-264: encoders lr, nets lr_net)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        scaled = {
+            k: (v if "encoder" in k else
+                jax.tree.map(lambda u: u * scale, v))
+            for k, v in updates.items()
+        }
+        return scaled, state
+
+    return optax.GradientTransformation(init, update)
 
 
 class TrainState(NamedTuple):
@@ -116,10 +141,13 @@ class Trainer:
                 self._tb = None
 
         lr_schedule = lambda step: cfg.lr * (0.1 ** jnp.minimum(step / cfg.max_steps, 1.0))
-        self.optimizer = optimizer or optax.chain(
+        transforms = [
             optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
             optax.scale_by_schedule(lambda s: -lr_schedule(s)),
-        )
+        ]
+        if cfg.lr_net_scale != 1.0:
+            transforms.append(_scale_non_encoder(cfg.lr_net_scale))
+        self.optimizer = optimizer or optax.chain(*transforms)
         self._build_steps()
 
     # ------------------------------------------------------------------ setup

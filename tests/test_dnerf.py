@@ -25,9 +25,29 @@ def test_variants_apply():
         assert sigma.shape == (16,) and rgb.shape == (16, 3), variant
         if variant == "deform":
             assert warped is not None
-            # time dependence: different t -> different sigma
-            s2, _, _ = dnerf.apply(params, cfg, x, d, jnp.asarray(0.9))
-            assert not np.allclose(np.asarray(sigma), np.asarray(s2))
+            # dx == 0 at init (zero-init output layer: training must start
+            # as a static canonical field)
+            np.testing.assert_allclose(np.asarray(warped), np.asarray(x),
+                                       atol=1e-7)
+            # time dependence once the warp head is non-zero
+            params["deform_net"][-1]["w"] = 0.01 * jax.random.normal(
+                jax.random.PRNGKey(2), params["deform_net"][-1]["w"].shape)
+            _, _, w1 = dnerf.apply(params, cfg, x, d, t)
+            _, _, w2 = dnerf.apply(params, cfg, x, d, jnp.asarray(0.9))
+            assert float(jnp.abs(w1 - w2).max()) > 1e-5  # warp moved with t
+
+
+def test_lr_net_scale_transform():
+    """lr_net_scale multiplies MLP updates only — the functional form of the
+    reference's per-group LRs (dnerf/network.py:255: encoders lr, nets
+    lr_net = lr/10)."""
+    from seal3d_tpu.train.trainer import _scale_non_encoder
+
+    tx = _scale_non_encoder(0.1)
+    updates = {"encoder": jnp.ones((4, 2)), "sigma_net": [{"w": jnp.ones((3, 3))}]}
+    out, _ = tx.update(updates, tx.init(updates))
+    np.testing.assert_allclose(out["encoder"], 1.0)
+    np.testing.assert_allclose(out["sigma_net"][0]["w"], 0.1)
 
 
 def test_time_grid_update():
@@ -66,7 +86,8 @@ def test_dnerf_trains_dynamic_scene():
     tcfg = TrainConfig(lr=1e-2, max_steps=400, num_rays=256, eval_chunk=512,
                        random_bg=False)
     tr = DNeRFTrainer(cfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0),
-                      time_size=8, use_dense=True)
+                      time_size=8, use_dense=True, deform_reg=1e-3,
+                      sigma_reg=1e-3)
     tr.init_state()
     p0 = tr.evaluate(max_views=2)
     tr.train(steps=250, silent=True)
