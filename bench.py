@@ -110,9 +110,11 @@ def main():
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                          budget_per_ray=48, num_candidates=256,
                          min_near=0.05, coarse_steps=64)
+    # Eval operating point: PSNR-par with budget 96 unpacked (37.50 vs
+    # 37.44 dB) at 1.8x the speed — 800x800 in ~7.1 s (90k rays/s).
     tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
-                       eval_chunk=2**14, eval_budget_per_ray=64,
-                       eval_flat_frac=0.5,
+                       eval_chunk=2**15, eval_budget_per_ray=48,
+                       eval_flat_frac=0.375,
                        random_bg=False, adaptive_budget=True)
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
     tr.init_state()

@@ -58,6 +58,31 @@ def test_torch_pth_cross_layout(tmp_path):
     np.testing.assert_allclose(out_p, out_x, rtol=2e-2, atol=2e-2)
 
 
+def test_torch_pth_into_bucket_backend(tmp_path):
+    """Reference-capacity (2^19-layout) torch checkpoints drop straight into
+    the 'bucket' backend — its level layout equals the reference/xla one, so
+    imported tables need no conversion and encode identically."""
+    import dataclasses
+
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.ops.hashgrid import hashgrid_encode
+    from seal3d_tpu.train.checkpoint import export_torch_ngp, import_torch_ngp
+
+    cfg_x = NGPConfig(bound=1.0, log2_hashmap_size=13, grid_backend="xla")
+    cfg_b = NGPConfig(bound=1.0, log2_hashmap_size=13, grid_backend="bucket")
+    assert cfg_x.grid.level_params == cfg_b.grid.level_params
+    params = ngp.init(jax.random.PRNGKey(0), cfg_x)
+    p = str(tmp_path / "ref.pth")
+    export_torch_ngp(p, params, grid_cfg=cfg_x.grid)
+    loaded = import_torch_ngp(p, ngp.init(jax.random.PRNGKey(1), cfg_b),
+                              grid_cfg=cfg_b.grid)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+    out_x = hashgrid_encode(params["encoder"], x, cfg_x.grid)
+    out_b = hashgrid_encode(loaded["encoder"], x, cfg_b.grid)
+    np.testing.assert_allclose(out_b, out_x, rtol=1e-6, atol=1e-6)
+
+
 def test_error_map_training(tmp_path):
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.models import ngp
