@@ -61,14 +61,16 @@ def hard_capacity_ablation(steps=500):
     ds = _cached_dataset(HardSyntheticScene(), ".bench_dataset_hard.npz",
                          n_views=12, h=192, w=192)
     out = {}
-    # arms: the -O fast path (fused kernel @2^15 — the capacity cliff sits
-    # at 2^14->2^15, full sweep in PERFORMANCE.md) vs full reference
+    # arms: the -O fast path (halo kernel over the wrap gridtype @2^15 —
+    # the capacity cliff sits at 2^14->2^15, and wrap BEAT hash by +1.2 dB
+    # at equal T on this scene; sweeps in PERFORMANCE.md) vs full reference
     # capacity via the sorted-bucket backend (take fwd + bucket scatter bwd
     # @2^19 — 10x faster than the xla scatter it replaced).
-    for tag, backend, log2t, rays in (("pallas15", "pallas", 15, 4096),
-                                      ("bucket19", "bucket", 19, 2048)):
+    for tag, backend, gridtype, log2t, rays in (
+            ("halo15", "halo", "wrap", 15, 4096),
+            ("bucket19", "bucket", "hash", 19, 2048)):
         fcfg = NGPConfig(bound=1.0, log2_hashmap_size=log2t,
-                         grid_backend=backend)
+                         grid_backend=backend, gridtype=gridtype)
         opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                              budget_per_ray=48, num_candidates=256,
                              min_near=0.05, coarse_steps=64)
@@ -91,7 +93,7 @@ def hard_capacity_ablation(steps=500):
         out[f"wall_hard_{tag}_s"] = round(wall, 1)
         del tr
     out["capacity_gap_db"] = round(
-        out["psnr_hard_bucket19"] - out["psnr_hard_pallas15"], 2)
+        out["psnr_hard_bucket19"] - out["psnr_hard_halo15"], 2)
     return out
 
 
@@ -106,7 +108,8 @@ def main():
     ds = _cached_dataset(SyntheticScene(), ".bench_dataset.npz")
     t_data = time.time() - t0
 
-    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15, grid_backend="pallas")
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15, grid_backend="halo",
+                     gridtype="wrap")
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                          budget_per_ray=48, num_candidates=256,
                          min_near=0.05, coarse_steps=64)

@@ -141,9 +141,10 @@ def run_seal(args, field_mod, fcfg, make_trainer, name):
 def main():
     parser = add_seal_args(common_parser("seal3d-tpu Seal editing (NGP)"))
     args = parser.parse_args()
-    backend, log2t = grid_defaults(args)
+    backend, log2t, gridtype = grid_defaults(args)
     fcfg = NGPConfig(bound=args.bound, log2_hashmap_size=log2t,
-                     grid_backend=backend, bg_radius=args.bg_radius)
+                     grid_backend=backend, gridtype=gridtype,
+                     bg_radius=args.bg_radius)
 
     def make_trainer(tcfg, ds, name):
         return Trainer(ngp, fcfg, build_options(args), tcfg, dataset=ds,

@@ -30,11 +30,11 @@ def main():
                              "for sparse-view dynamic captures)")
     args = parser.parse_args()
     seed_everything(args.seed)
-    backend, log2t = grid_defaults(args)
+    backend, log2t, gridtype = grid_defaults(args)
 
     fcfg = DNeRFConfig(bound=args.bound, variant=args.variant,
                        log2_hashmap_size=log2t, grid_backend=backend,
-                       gridtype="tiled" if backend == "xla" else "hash",
+                       gridtype="tiled" if backend == "xla" else gridtype,
                        time_multires=args.time_multires)
     opts = build_options(args)
     tcfg = build_train_config(args)

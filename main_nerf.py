@@ -17,10 +17,11 @@ def main():
     parser = common_parser("seal3d-tpu NGP NeRF")
     args = parser.parse_args()
     seed_everything(args.seed)
-    backend, log2t = grid_defaults(args)
+    backend, log2t, gridtype = grid_defaults(args)
 
     fcfg = NGPConfig(bound=args.bound, log2_hashmap_size=log2t,
-                     grid_backend=backend, bg_radius=args.bg_radius)
+                     grid_backend=backend, gridtype=gridtype,
+                     bg_radius=args.bg_radius)
     opts = build_options(args)
     tcfg = build_train_config(args)
     ds = load_dataset(args, "trainval" if not args.test else "test")

@@ -48,9 +48,11 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    choices=["srgb", "linear"],
                    help="train against srgb images or linearized ones")
     p.add_argument("--grid_backend", type=str, default=None,
-                   choices=["xla", "pallas", "bucket"],
-                   help="hash-grid gather path: 'pallas' = VMEM one-hot "
-                        "kernel (T <= 2^16), 'bucket' = reference-capacity "
+                   choices=["xla", "pallas", "bucket", "halo"],
+                   help="hash-grid gather path: 'halo' = one-row-per-sample "
+                        "VMEM kernel over the wrap gridtype (fastest; -O "
+                        "default), 'pallas' = one-hot kernel with reference "
+                        "hashing (T <= 2^16), 'bucket' = reference-capacity "
                         "take + sorted-bucket scatter (any T), 'xla' = plain "
                         "gathers (slow backward at large T)")
     p.add_argument("--coarse_steps", type=int, default=64,
@@ -131,11 +133,14 @@ def load_dataset(args, split: str = "trainval"):
 
 
 def grid_defaults(args):
-    """Resolve backend/table-size defaults: -O selects the TPU-native pallas
-    operating point at T=2^15 — the capacity cliff sits at 2^14 -> 2^15
-    (hard scene: +18.8 dB, PERFORMANCE.md) and the bf16 VMEM stack makes
-    2^15 the fastest fwd+bwd point of the fused kernel. 'bucket' (or plain
-    mode) keeps reference-parity T=2^19."""
-    backend = args.grid_backend or ("pallas" if args.O else "xla")
-    log2 = args.log2_hashmap_size or (15 if backend == "pallas" else 19)
-    return backend, log2
+    """Resolve backend/table-size/gridtype defaults: -O selects the
+    TPU-native halo operating point — the one-row-per-sample kernel over
+    the 'wrap' gridtype at T=2^15 (the capacity cliff sits at 2^14 -> 2^15,
+    hard scene +18.8 dB; wrap BEATS hash by +1.2 dB at equal T and the
+    kernel is ~1.6x the fused one-hot kernel, PERFORMANCE.md). 'bucket'
+    (or plain mode) keeps reference-parity hashing at T=2^19."""
+    backend = args.grid_backend or ("halo" if args.O else "xla")
+    log2 = args.log2_hashmap_size or (
+        15 if backend in ("pallas", "halo") else 19)
+    gridtype = "wrap" if backend == "halo" else "hash"
+    return backend, log2, gridtype

@@ -43,6 +43,8 @@ class NGPConfig:
     # 'pallas' = blocked one-hot MXU lookups (TPU-native; use log2T <= 16),
     # 'xla' = jnp.take gathers (any size; reference-parity table layout).
     grid_backend: str = "xla"
+    # 'hash' | 'tiled' | 'wrap' (sheared block-wrap; see HashGridConfig).
+    gridtype: str = "hash"
 
     @cached_property
     def grid(self) -> HashGridConfig:
@@ -53,6 +55,7 @@ class NGPConfig:
             log2_hashmap_size=self.log2_hashmap_size,
             desired_resolution=int(2048 * self.bound),
             backend=self.grid_backend,
+            gridtype=self.gridtype,
         )
 
     @cached_property

@@ -1,0 +1,297 @@
+"""One-row-per-sample hash-grid encode kernel ('halo' backend).
+
+The fused one-hot kernel (ops/pallas/hash_encode.py) pays 8 corner-row
+fetches per sample-level: each trilinear corner hashes to an arbitrary row,
+and a one-hot row fetch costs rows * (F*128) MACs regardless of how many
+corners share a row. This kernel removes the 8x by changing the INDEXING,
+not the fetch: with the 'wrap' gridtype (per-dim coordinate wrap modulo a
+period P, P^3 = T — see HashGridConfig), space tiles into 4^3 entry blocks,
+and a stored row holds a block's 5x5x5 HALO (125 entries <= 128 lanes, the
++1 faces duplicated from wrap-neighbor blocks). Every cell whose base lies
+in a block has all 8 interpolation corners inside that block's halo row, so
+the kernel fetches ONE row per sample-level — 4x fewer MACs than 8 fetches
+at 2x entry duplication — and does the trilinear corner selection on the
+VPU with a per-lane multi-hot (weights folded in, one reduce per feature).
+
+The duplicated halo entries are NOT independent parameters: `halo_expand`
+builds the [L, B, F*128] stored stack from the flat spatial master table
+with static wrap-pad + 125 strided slices, and its autodiff transpose
+(slice-adds + wrap-fold) routes gradients of all copies back to the master
+entry. The kernel itself is custom-vjp'd over the stored stack only.
+
+Equivalent of the reference gridencoder (gridencoder/src/gridencoder.cu:
+87-366) at reference hyperparameters except for the collision structure:
+the reference hashes entries independently (fast_hash, :50-63); here points
+collide only at exact per-level period translations (axis-aligned, but the
+world-space period P*cell_l diverges across levels, so joint multi-level
+features remain unique — quality-validated on the hard scene, see
+PERFORMANCE.md).
+
+Constraints: gridtype='wrap', T = P^3 with P a power of two (T=2^15 -> P=32
+is the -O operating point), input_dim=3, align_corners=False, no input
+gradients (positions are not trainable — matches the reference default,
+gridencoder/grid.py:27).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_CORNERS = tuple((i & 1, (i >> 1) & 1, (i >> 2) & 1) for i in range(8))
+_CK = 128  # one-hot chunk (rows per matmul slice)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def halo_expand(master: jnp.ndarray, cfg) -> jnp.ndarray:
+    """[L*T, F] spatial master -> [L, B, F*128] halo-stored stack (f32).
+
+    Stored row b=(bx,by,bz) holds entries S[4b+q] for q in [0,5)^3 at lane
+    qx*25+qy*5+qz (S wrap-padded by one: the +1 faces come from the
+    wrap-neighbor block). Differentiable — the autodiff transpose is the
+    exact copy-fold back onto master entries."""
+    levels = cfg.num_levels
+    t = 2**cfg.log2_hashmap_size
+    period = round(t ** (1 / 3))
+    assert period**3 == t, "halo backend needs T = P^3"
+    assert period % 4 == 0 and period >= 8
+    nb = period // 4
+    f_dim = master.shape[-1]
+    s = master.reshape(levels, period, period, period, f_dim)
+    p = jnp.concatenate([s, s[:, :1]], axis=1)
+    p = jnp.concatenate([p, p[:, :, :1]], axis=2)
+    p = jnp.concatenate([p, p[:, :, :, :1]], axis=3)  # [L, P+1, P+1, P+1, F]
+    hi = 4 * (nb - 1)
+    parts = [
+        p[:, qx:qx + hi + 1:4, qy:qy + hi + 1:4, qz:qz + hi + 1:4]
+        for qx in range(5) for qy in range(5) for qz in range(5)
+    ]  # each [L, nb, nb, nb, F]
+    st = jnp.stack(parts, axis=-2)  # [L, nb, nb, nb, 125, F]
+    st = st.reshape(levels, nb**3, 125, f_dim).transpose(0, 1, 3, 2)
+    st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, LANES - 125)))
+    return st.reshape(levels, nb**3, f_dim * LANES)
+
+
+def _level_consts(cfg):
+    scales, resolutions = [], []
+    for resolution, _off, _n, _uh, scale in cfg.level_params:
+        scales.append(float(scale))
+        resolutions.append(resolution)
+    return np.asarray(scales, np.float32), np.asarray(resolutions, np.int32)
+
+
+def _sample_setup(xs, scale, resolution, period):
+    """Per-level sample decomposition: block row, intra-block offset, frac."""
+    res_m1 = (resolution - 1).astype(jnp.float32)
+    pos = [jnp.clip(x * scale + 0.5, 0.0, res_m1) for x in xs]
+    pos0 = [jnp.floor(p) for p in pos]
+    frac = [p - q for p, q in zip(pos, pos0)]
+    pw = [p.astype(jnp.int32) & (period - 1) for p in pos0]
+    b = [p >> 2 for p in pw]
+    o = [p & 3 for p in pw]
+    nb = period // 4
+    row = (b[0] * nb + b[1]) * nb + b[2]
+    return row, o, frac
+
+
+def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
+    ck = min(_CK, n_rows)
+    n_chunks = n_rows // ck
+
+    def kernel(scale_ref, res_ref, x_ref, tab_ref, out_ref):
+        ps = x_ref.shape[2]
+        xs = [x_ref[0, d] for d in range(3)]
+        lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+
+        def level_body(l, _):
+            row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
+            if smoothstep:
+                frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+            rowsum = None
+            for k in range(n_chunks):
+                a3 = (row[:, :, None] == lane_ck + k * ck
+                      ).astype(jnp.bfloat16)
+                wide = tab_ref[l, pl.ds(k * ck, ck), :]
+                rs = jax.lax.dot_general(
+                    a3, wide, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                rowsum = rs if rowsum is None else rowsum + rs
+            # weighted multi-hot over halo lanes: ml[s, lane] =
+            # sum_c w_c * (lane == lane(o+c))
+            ml = jnp.zeros((ps, LANES, LANES), jnp.float32)
+            for corner in _CORNERS:
+                lane_c = ((o[0] + corner[0]) * 25 + (o[1] + corner[1]) * 5
+                          + (o[2] + corner[2]))
+                w = jnp.ones_like(frac[0])
+                for d in range(3):
+                    w = w * jnp.where(corner[d] == 1, frac[d], 1.0 - frac[d])
+                ml = ml + jnp.where(lane128 == lane_c[:, :, None],
+                                    w[:, :, None], 0.0)
+            for f in range(f_dim):
+                out_ref[0, l * f_dim + f] = (
+                    ml * rowsum[:, :, f * LANES:(f + 1) * LANES]).sum(-1)
+            return 0
+
+        jax.lax.fori_loop(0, levels, level_body, 0)
+
+    return kernel
+
+
+def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
+    ck = min(_CK, n_rows)
+    n_chunks = n_rows // ck
+
+    def kernel(scale_ref, res_ref, x_ref, g_ref, gtab_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            gtab_ref[:] = jnp.zeros_like(gtab_ref)
+
+        ps = x_ref.shape[2]
+        xs = [x_ref[0, d] for d in range(3)]
+        lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+
+        def level_body(l, _):
+            row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
+            if smoothstep:
+                frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+            ml = jnp.zeros((ps, LANES, LANES), jnp.float32)
+            for corner in _CORNERS:
+                lane_c = ((o[0] + corner[0]) * 25 + (o[1] + corner[1]) * 5
+                          + (o[2] + corner[2]))
+                w = jnp.ones_like(frac[0])
+                for d in range(3):
+                    w = w * jnp.where(corner[d] == 1, frac[d], 1.0 - frac[d])
+                ml = ml + jnp.where(lane128 == lane_c[:, :, None],
+                                    w[:, :, None], 0.0)
+            # gb[s, f*128+lane] = ml[s, lane] * g_f[s]
+            gb = jnp.concatenate(
+                [ml * g_ref[0, l * f_dim + f][:, :, None]
+                 for f in range(f_dim)],
+                axis=2).astype(jnp.bfloat16).reshape(ps * LANES,
+                                                     f_dim * LANES)
+            for k in range(n_chunks):
+                a3 = (row[:, :, None] == lane_ck + k * ck
+                      ).astype(jnp.bfloat16).reshape(ps * LANES, ck)
+                upd = jax.lax.dot_general(
+                    a3, gb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                cur = gtab_ref[l, pl.ds(k * ck, ck), :]
+                gtab_ref[l, pl.ds(k * ck, ck), :] = cur + upd
+            return 0
+
+        jax.lax.fori_loop(0, levels, level_body, 0)
+
+    return kernel
+
+
+def _prep_x(x, tile):
+    m = x.shape[0]
+    pad = (-m) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    n_tiles = (m + pad) // tile
+    ps = tile // LANES
+    x4 = xp.reshape(n_tiles, ps, LANES, 3).transpose(0, 3, 1, 2)
+    return x4, n_tiles, ps, pad
+
+
+def _smem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(n)]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def halo_encode_fused(stored, x, cfg, tile: int = 1024):
+    """Fused halo encode.
+
+    Args:
+      stored: [L, B, F*128] f32 halo-stored stack from `halo_expand`
+        (cast to bf16 on entry).
+      x: [M, 3] positions in [0, 1].
+      cfg: HashGridConfig with backend='halo', gridtype='wrap'.
+      tile: points per grid step.
+    Returns:
+      [M, L*F] f32 features (level-major).
+    """
+    return _fwd_impl(stored, x, cfg, tile)
+
+
+def _fwd_impl(stored, x, cfg, tile):
+    levels, n_rows, fw = stored.shape
+    f_dim = fw // LANES
+    t = 2**cfg.log2_hashmap_size
+    period = round(t ** (1 / 3))
+    m = x.shape[0]
+    x4, n_tiles, ps, _ = _prep_x(x, tile)
+    scales, resolutions = _level_consts(cfg)
+    kernel = _make_fwd_kernel(levels, f_dim, n_rows, period,
+                              cfg.interpolation == "smoothstep")
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_smem_specs(2) + [
+            pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, levels * f_dim, ps, LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, levels * f_dim, ps, LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray(scales), jnp.asarray(resolutions), x4,
+      stored.astype(jnp.bfloat16))
+    out = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, levels * f_dim)
+    return out[:m]
+
+
+def _fwd(stored, x, cfg, tile):
+    return _fwd_impl(stored, x, cfg, tile), (stored.shape, x)
+
+
+def _bwd(cfg, tile, res, g):
+    (levels, n_rows, fw), x = res
+    f_dim = fw // LANES
+    t = 2**cfg.log2_hashmap_size
+    period = round(t ** (1 / 3))
+    x4, n_tiles, ps, pad = _prep_x(x, tile)
+    g_p = jnp.pad(g, ((0, pad), (0, 0)))
+    g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
+    scales, resolutions = _level_consts(cfg)
+    kernel = _make_bwd_kernel(levels, f_dim, n_rows, period,
+                              cfg.interpolation == "smoothstep")
+    gtab = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_smem_specs(2) + [
+            pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, levels * f_dim, ps, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, n_rows, fw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray(scales), jnp.asarray(resolutions), x4, g4)
+    return gtab, None
+
+
+halo_encode_fused.defvjp(_fwd, _bwd)

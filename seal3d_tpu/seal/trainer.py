@@ -142,8 +142,9 @@ class SealTrainer(Trainer):
                 pad = chunk - ro.shape[0]
                 ro = jnp.pad(ro, ((0, pad), (0, 0)))
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            out = self._render_teacher(self.teacher_params, self.teacher_bitfield,
-                                       ro, rd)
+            out = self._render_teacher(self.teacher_params,
+                                       self.teacher_bitfield, ro, rd,
+                                       jnp.float32(bg_color))
             imgs.append(out["image"][: min(chunk, n - i)])
             deps.append(out["depth"][: min(chunk, n - i)])
         return (np.asarray(jnp.concatenate(imgs)).reshape(h, w, 3),
@@ -276,9 +277,10 @@ class SealTrainer(Trainer):
             num_candidates=opts.num_candidates, min_near=opts.min_near,
             density_scale=opts.density_scale, bg_radius=opts.bg_radius)
 
-        def render_teacher(params, bitfield, rays_o, rays_d):
+        def render_teacher(params, bitfield, rays_o, rays_d, bg_color):
             return render_rays(params, self.teacher_field, fcfg, bitfield,
-                               rays_o, rays_d, teacher_opts, bg_color=1.0)
+                               rays_o, rays_d, teacher_opts,
+                               bg_color=bg_color)
 
         self._render_teacher = jax.jit(render_teacher)
 

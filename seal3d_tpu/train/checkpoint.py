@@ -94,7 +94,11 @@ def export_torch_ngp(path: str, params: dict, step: int = 0, grid_cfg=None):
     from seal3d_tpu.ops.hashgrid import convert_table_layout
 
     def from_table(tab):
-        if grid_cfg is not None and grid_cfg.backend == "pallas":
+        if grid_cfg is not None and grid_cfg.backend in ("pallas", "halo"):
+            # Re-pack padded-level layouts to native per-level sizes. NB for
+            # 'halo' (gridtype='wrap') the exported entries keep wrap
+            # indexing semantics: round-trips through our own configs, but
+            # the torch reference would interpret hashed levels differently.
             ref_cfg = dataclasses.replace(grid_cfg, backend="xla")
             tab = convert_table_layout(jnp.asarray(tab), grid_cfg, ref_cfg)
         return np.asarray(tab)

@@ -297,6 +297,54 @@ def test_sph_from_ray_on_sphere():
     np.testing.assert_allclose(sph2[0, 0], 1.0, atol=1e-5)
 
 
+def test_wrap_gridtype_injective_and_local():
+    """'wrap' indexing: injective over one period (a permutation of the
+    table) and equal across period translations (the aliasing relation is
+    exactly coords mod P)."""
+    from seal3d_tpu.ops.hashgrid import _corner_indices
+
+    p = 16
+    g = np.stack(np.meshgrid(*[np.arange(p)] * 3, indexing="ij"),
+                 -1).reshape(-1, 3)
+    idx = np.asarray(_corner_indices(jnp.asarray(g), 64, False, p**3, 3,
+                                     "wrap", level=3))
+    assert len(np.unique(idx)) == p**3
+    idx2 = np.asarray(_corner_indices(jnp.asarray(g + [p, 2 * p, p]), 64,
+                                      False, p**3, 3, "wrap", level=3))
+    np.testing.assert_array_equal(idx, idx2)
+
+
+def test_hashgrid_halo_backend_matches_take_oracle():
+    """The one-row-per-sample halo kernel must agree with a take-based
+    gather over the identical wrap indexing — forward and table gradient
+    (bf16 stored stack -> loose tolerance). Also checks that halo_expand's
+    autodiff transpose routes duplicated halo-copy gradients back onto
+    master entries (gradient nonzero pattern == oracle's)."""
+    from seal3d_tpu.ops.hashgrid import corner_indices_weights
+
+    cfg = HashGridConfig(log2_hashmap_size=12, num_levels=4,
+                         desired_resolution=256, gridtype="wrap",
+                         backend="halo")
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg, std=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 3))
+    idx, w = corner_indices_weights(x, cfg)
+
+    def oracle(t):
+        f = jnp.take(t, idx.reshape(300, -1), axis=0).reshape(
+            300, cfg.num_levels, 8, -1)
+        return (f * w[..., None]).sum(axis=2).reshape(300, -1)
+
+    ref = oracle(tab)
+    out = hashgrid_encode(tab, x, cfg)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    gk = jax.grad(lambda t: (hashgrid_encode(t, x, cfg) ** 2).sum())(tab)
+    gr = jax.grad(lambda t: (oracle(t) ** 2).sum())(tab)
+    scale = float(jnp.abs(gr).max())
+    np.testing.assert_allclose(np.asarray(gk) / scale,
+                               np.asarray(gr) / scale, atol=2e-2)
+
+
 def test_hashgrid_tv_loss():
     from seal3d_tpu.ops.hashgrid import hashgrid_tv_loss
 
