@@ -82,7 +82,8 @@ def main():
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=12, h=256, w=256, seed=0)
     fcfg = NGPConfig(bound=1.0, log2_hashmap_size=args.log2t,
-                     grid_backend=args.backend)
+                     grid_backend=args.backend,
+                     gridtype="wrap" if args.backend == "halo" else "hash")
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                          budget_per_ray=k, num_candidates=args.candidates,
                          min_near=0.05)

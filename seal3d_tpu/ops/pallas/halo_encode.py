@@ -176,7 +176,9 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
                     w = w * jnp.where(corner[d] == 1, frac[d], 1.0 - frac[d])
                 ml = ml + jnp.where(lane128 == lane_c[:, :, None],
                                     w[:, :, None], 0.0)
-            # gb[s, f*128+lane] = ml[s, lane] * g_f[s]
+            # gb[s, f*128+lane] = ml[s, lane] * g_f[s]. (A two-contraction
+            # dot_general over (ps, LANE) would avoid the reshape, but
+            # Mosaic rejects multi-dim contractions — keep the flat view.)
             gb = jnp.concatenate(
                 [ml * g_ref[0, l * f_dim + f][:, :, None]
                  for f in range(f_dim)],
