@@ -314,6 +314,83 @@ def compact_grid_to_flat(m: MarchedGrid, budget: int) -> MarchedRays:
     )
 
 
+def compact_flat_direct(ts, dts, valid, rays_o, rays_d, k: int,
+                        budget: int) -> MarchedRays:
+    """Candidates [N, C] -> flat [budget] buffer in ONE argsort.
+
+    Fuses compact_topk + compact_grid_to_flat for the packed train path:
+    instead of top_k to [N, K] (a per-row sort) followed by a global
+    argsort over N*K, apply the per-ray stride subsample (same semantics
+    as compact_topk: over-K rays keep every stride-th valid candidate with
+    deltas rescaled) and argsort the [N*C] keep mask directly. Positions
+    are recomputed from (ray_id, t) for the kept samples only, so the
+    [N, C, 3] candidate xyz tensor is never re-gathered."""
+    n, c = ts.shape
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    count = rank[:, -1:]
+    stride = jnp.maximum(jnp.ceil(count / k).astype(jnp.int32), 1)
+    keep = valid & (((rank - 1) % stride) == 0)
+    dts = dts * stride.astype(dts.dtype)
+    nc = n * c
+    flat_keep = keep.reshape(-1)
+    idx = jnp.arange(nc, dtype=jnp.int32)
+    order = jnp.argsort(jnp.where(flat_keep, idx, idx + nc))
+    sel = order[:budget]
+    ts_f = jnp.take(ts.reshape(-1), sel)
+    dts_f = jnp.take(dts.reshape(-1), sel)
+    valid_f = jnp.take(flat_keep, sel)
+    ray_id = (sel // c).astype(jnp.int32)
+    ro = jnp.take(rays_o, ray_id, axis=0)
+    rd = jnp.take(rays_d, ray_id, axis=0)
+    xyzs = ro + ts_f[:, None] * rd
+    counts = keep.sum(1).astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    kept = (jnp.minimum(starts + counts, budget)
+            - jnp.minimum(starts, budget))
+    return MarchedRays(
+        xyzs=xyzs, dirs=rd, deltas=dts_f, ts=ts_f,
+        ray_id=jnp.clip(ray_id, 0, n - 1), valid=valid_f,
+        offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0))
+
+
+def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                    bitfield: jnp.ndarray, bound: float, cascades: int,
+                    dt_gamma: float, max_steps: int, k: int, budget: int,
+                    num_candidates: int | None = None,
+                    perturb: jnp.ndarray | None = None,
+                    min_near: float = 0.05,
+                    aabb: jnp.ndarray | None = None,
+                    occ_stride: int = 2,
+                    coarse_steps: int = 0) -> MarchedRays:
+    """Occupancy march straight to the flat packed layout (train fast path).
+
+    Same candidate ladder / occupancy semantics as march_rays_grid, but the
+    [N, K] intermediate and its top_k never exist (see compact_flat_direct).
+    """
+    if aabb is None:
+        aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
+                         jnp.float32)
+    if num_candidates is None:
+        num_candidates = max_steps
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    if coarse_steps > 0:
+        nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
+                                     cascades, bound, n_steps=coarse_steps)
+    ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma,
+                                  bound, max_steps, perturb)
+    xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
+    if occ_stride > 1 and num_candidates % occ_stride == 0:
+        occ = occupancy_at(xyz[:, ::occ_stride], dts[:, ::occ_stride],
+                           bitfield, cascades, bound)
+        occ = jnp.repeat(occ, occ_stride, axis=1)
+    else:
+        occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
+    valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
+    out = compact_flat_direct(ts, dts, valid, rays_o, rays_d, k, budget)
+    return jax.tree.map(jax.lax.stop_gradient, out)
+
+
 def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     bitfield: jnp.ndarray, bound: float, cascades: int,
                     dt_gamma: float, max_steps: int, k: int,

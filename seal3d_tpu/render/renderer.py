@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.ops.composite import composite_dense, composite_flat
-from seal3d_tpu.ops.raymarch import (compact_grid_to_flat, march_rays,
+from seal3d_tpu.ops.raymarch import (march_rays, march_rays_flat,
                                      march_rays_grid, near_far_from_aabb,
                                      sph_from_ray)
 
@@ -100,27 +100,33 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
     if perturb and key is not None:
         jitter = jax.random.uniform(key, (n,))
     if opts.compaction == "topk":
-        m = march_rays_grid(
-            rays_o, rays_d, bitfield,
-            bound=opts.bound, cascades=opts.cascades, dt_gamma=opts.dt_gamma,
-            max_steps=opts.max_steps, k=opts.budget_per_ray,
-            num_candidates=opts.num_candidates, perturb=jitter,
-            min_near=opts.min_near, aabb=aabb, occ_stride=opts.occ_stride,
-            coarse_steps=opts.coarse_steps,
-        )
         k = opts.budget_per_ray
         if opts.flat_frac is not None and opts.flat_frac < 1.0:
-            # Sort-pack valid samples; the field runs on `budget` real
-            # samples instead of all N*K grid slots.
+            # March straight to the packed flat layout (one argsort; the
+            # [N, K] grid and its top_k never exist) — the field runs on
+            # `budget` real samples instead of all N*K grid slots.
             budget = max(int(round(n * k * opts.flat_frac / 128)) * 128, 128)
-            mf = jax.tree.map(jax.lax.stop_gradient,
-                              compact_grid_to_flat(m, budget))
+            mf = march_rays_flat(
+                rays_o, rays_d, bitfield,
+                bound=opts.bound, cascades=opts.cascades,
+                dt_gamma=opts.dt_gamma, max_steps=opts.max_steps, k=k,
+                budget=budget, num_candidates=opts.num_candidates,
+                perturb=jitter, min_near=opts.min_near, aabb=aabb,
+                occ_stride=opts.occ_stride, coarse_steps=opts.coarse_steps)
             sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
             sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
             out = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
                                  mf.offsets, mf.valid, n)
             num_samples = mf.valid.sum()
         else:
+            m = march_rays_grid(
+                rays_o, rays_d, bitfield,
+                bound=opts.bound, cascades=opts.cascades,
+                dt_gamma=opts.dt_gamma, max_steps=opts.max_steps, k=k,
+                num_candidates=opts.num_candidates, perturb=jitter,
+                min_near=opts.min_near, aabb=aabb, occ_stride=opts.occ_stride,
+                coarse_steps=opts.coarse_steps,
+            )
             sigma, rgb = field.apply(params, cfg, m.xyzs.reshape(-1, 3),
                                      m.dirs.reshape(-1, 3))
             sigma = jnp.where(m.valid, sigma.reshape(n, k) * opts.density_scale,

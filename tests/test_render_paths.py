@@ -89,6 +89,48 @@ def test_flat_compaction_matches_topk_path():
                                np.asarray(out_flat["image"]), atol=5e-3)
 
 
+def test_march_rays_flat_matches_grid_then_pack():
+    """march_rays_flat (one argsort straight to the packed layout) must
+    produce the exact sample stream of march_rays_grid + compact_grid_to_flat
+    — same kept candidates, order, deltas (incl. over-budget stride
+    rescaling), offsets and counts."""
+    from seal3d_tpu.ops.raymarch import (compact_grid_to_flat,
+                                         march_rays_flat, march_rays_grid)
+
+    scene = SyntheticScene()
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
+                           bound=1.0, density_thresh=0.01, full=True)
+    ds = scene.make_dataset(n_views=1, h=16, w=16, seed=3)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    kw = dict(bound=1.0, cascades=1, dt_gamma=0.0, max_steps=256,
+              num_candidates=256, min_near=0.05, occ_stride=1,
+              coarse_steps=32)
+    # k small enough that some rays hit the stride-subsample path
+    k, budget = 16, 2048
+    g = march_rays_grid(rays["rays_o"], rays["rays_d"], occ.bitfield, k=k,
+                        **kw)
+    ref = compact_grid_to_flat(g, budget)
+    out = march_rays_flat(rays["rays_o"], rays["rays_d"], occ.bitfield, k=k,
+                          budget=budget, **kw)
+    assert bool(out.valid.any())
+    np.testing.assert_array_equal(np.asarray(out.valid), np.asarray(ref.valid))
+    v = np.asarray(out.valid)
+    np.testing.assert_allclose(np.asarray(out.ts)[v], np.asarray(ref.ts)[v],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.deltas)[v],
+                               np.asarray(ref.deltas)[v], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.ray_id)[v],
+                                  np.asarray(ref.ray_id)[v])
+    np.testing.assert_allclose(np.asarray(out.xyzs)[v],
+                               np.asarray(ref.xyzs)[v], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.offsets),
+                                  np.asarray(ref.offsets))
+    np.testing.assert_array_equal(np.asarray(out.counts),
+                                  np.asarray(ref.counts))
+
+
 def test_flat_frac_packed_path_matches_topk():
     """flat_frac sort-packing (field runs only on valid samples) must render
     identically to the plain [N,K] topk path when the budget holds every
