@@ -67,6 +67,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                         "(the reference mean_count analog); on with -O")
     p.add_argument("--log2_hashmap_size", type=int, default=None)
     p.add_argument("--eval_interval", type=int, default=50)
+    p.add_argument("--num_views", type=int, default=0,
+                   help="synthetic-scene train view count (0 = per-split "
+                        "default; the reference's D-NeRF captures are dense "
+                        "— use 48-100 for dynamic convergence runs)")
     p.add_argument("--gui", action="store_true")
     p.add_argument("--W", type=int, default=800)
     p.add_argument("--H", type=int, default=800)
@@ -124,6 +128,8 @@ def load_dataset(args, split: str = "trainval"):
         scene = (DynamicSyntheticScene() if "dynamic" in args.path
                  else SyntheticScene())
         n = {"trainval": 24, "train": 20, "val": 4, "test": 8}.get(split, 8)
+        if split in ("trainval", "train") and getattr(args, "num_views", 0):
+            n = args.num_views
         seed = {"trainval": 0, "train": 0, "val": 1, "test": 2}.get(split, 2)
         return scene.make_dataset(n_views=n, h=args.H // args.downscale,
                                   w=args.W // args.downscale, seed=seed)
