@@ -45,6 +45,10 @@ class NGPConfig:
     grid_backend: str = "xla"
     # 'hash' | 'tiled' | 'wrap' (sheared block-wrap; see HashGridConfig).
     gridtype: str = "hash"
+    # Shard the hash-table level stack over a 2-D mesh's 'model' axis
+    # (tensor parallelism; see HashGridConfig.shard_levels). The small bg
+    # encoder and the MLPs stay replicated.
+    grid_shard_levels: bool = False
 
     @cached_property
     def grid(self) -> HashGridConfig:
@@ -56,6 +60,7 @@ class NGPConfig:
             desired_resolution=int(2048 * self.bound),
             backend=self.grid_backend,
             gridtype=self.gridtype,
+            shard_levels=self.grid_shard_levels,
         )
 
     @cached_property

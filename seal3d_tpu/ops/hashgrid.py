@@ -78,6 +78,14 @@ class HashGridConfig:
     #   requires gridtype='wrap' with T = P^3; 4x fewer MACs than 'pallas'
     #   (one 5x5x5 halo-block fetch per sample-level vs 8 corner rows).
     backend: str = "xla"
+    # Tensor parallelism over a 2-D device mesh: pad every level to the full
+    # table (uniform [L, T, F] stack) and shard the LEVEL axis over the
+    # ambient mesh's 'model' axis (parallel/mesh.py:make_mesh_2d). Each chip
+    # gathers/scatters only its own levels; the per-step collectives are one
+    # all-gather of the [M, L*F] features and the table-grad psum over
+    # 'data' — the table itself is never gathered. No-op without a mesh.
+    # 'xla' backend only.
+    shard_levels: bool = False
 
     @cached_property
     def per_level_scale(self) -> float:
@@ -113,7 +121,7 @@ class HashGridConfig:
             # level to the full table so levels stack uniformly (one kernel
             # loop region — Mosaic does not share stack slots across unrolled
             # regions, so mixed-size level unrolling blows scoped VMEM).
-            if self.backend in ("pallas", "halo"):
+            if self.backend in ("pallas", "halo") or self.shard_levels:
                 params_in_level = hashmap_size
             else:
                 params_in_level = min(((dense_size + 7) // 8) * 8, hashmap_size)
@@ -322,6 +330,32 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
 
     if cfg.backend == "bucket":
         out = _bucket_encode(table, xf, cfg)
+        return out.reshape(*batch_shape, cfg.num_levels * f_dim)
+
+    if cfg.shard_levels and cfg.backend == "xla":
+        # Level-stacked tensor-parallel gather: every level is padded to the
+        # full table so the stack is uniform [L, T, F] and the LEVEL axis can
+        # shard over the mesh's 'model' axis. The vmapped take is a batched
+        # gather whose operand/index batch dims carry matching shardings, so
+        # GSPMD keeps it fully local per chip; the [M, L, F] -> [M, L*F]
+        # re-layout is the one point XLA inserts the small feature
+        # all-gather. (TPU-native replacement for the reference's replicated
+        # gridencoder under DDP, SURVEY.md §2.3.)
+        from seal3d_tpu.parallel.mesh import constrain
+
+        t = 2**cfg.log2_hashmap_size
+        idx, w = corner_indices_weights(xf, cfg)  # [M, L, 2^dim] global
+        offsets = jnp.asarray([off for _, off, _, _, _ in cfg.level_params],
+                              jnp.int32)
+        idx_local = (idx - offsets[None, :, None]).transpose(1, 0, 2)
+        idx_local = constrain(idx_local, "model", "data", None)
+        table3 = constrain(table.reshape(cfg.num_levels, t, f_dim),
+                           "model", None, None)
+        feats = jax.vmap(lambda tab, ix: jnp.take(tab, ix, axis=0))(
+            table3, idx_local)  # [L, M, 2^dim, F]
+        feats = constrain(feats, "model", "data", None, None)
+        out = (feats * w.transpose(1, 0, 2)[..., None]).sum(axis=2)
+        out = constrain(out.transpose(1, 0, 2), "data", None, None)  # [M,L,F]
         return out.reshape(*batch_shape, cfg.num_levels * f_dim)
 
     idx, w = corner_indices_weights(xf, cfg)

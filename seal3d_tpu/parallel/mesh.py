@@ -29,6 +29,36 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """2-D (data x model) mesh: rays sharded over `data`, the hash-table
+    level stack sharded over `model` (tensor parallelism for the encoder —
+    the one parameter group that dominates memory and gradient bandwidth).
+
+    Layout rationale (scaling-book recipe): `model` is the minor axis so
+    the per-step feature all-gather ([M_local, L*F], a few hundred KB) and
+    the table-grad reduce ride adjacent-chip ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)[: n_data * n_model]
+    return Mesh(devices.reshape(n_data, n_model), ("data", "model"))
+
+
+def constrain(x, *spec):
+    """`with_sharding_constraint(x, P(*spec))` against the AMBIENT mesh
+    (`jax.sharding.set_mesh`), dropping axis names the mesh doesn't have.
+    No-op when no mesh is set — lets model code carry sharding annotations
+    that cost nothing single-chip."""
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or not getattr(mesh, "axis_names", ()):
+        return x
+    names = set(mesh.axis_names)
+    spec = tuple(s if s in names else None for s in spec)
+    if all(s is None for s in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

@@ -1,0 +1,88 @@
+"""SPMD sharding tests on the virtual 8-CPU mesh (conftest.py).
+
+The reference's distributed story is vestigial single-host DDP
+(nerf/utils.py:330-332, never enabled — SURVEY.md §2.3); the TPU-native
+equivalent is GSPMD over a jax.sharding.Mesh. These tests pin down the two
+supported layouts:
+- 1-D data mesh: ray batch sharded, params replicated (dp).
+- 2-D data x model mesh: ray batch over 'data', hash-table level stack over
+  'model' (tensor parallelism, HashGridConfig.shard_levels).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seal3d_tpu.ops.hashgrid import HashGridConfig, hashgrid_encode, hashgrid_init
+from seal3d_tpu.parallel.mesh import constrain, make_mesh, make_mesh_2d
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh")
+
+
+def _encode_loss(table, x, cfg):
+    return (hashgrid_encode(table, x, cfg) ** 2).sum()
+
+
+def test_level_sharded_encode_matches_unsharded():
+    """shard_levels under a 2-D mesh must be numerically identical to the
+    plain xla path at the same (uniform) level packing, for both the output
+    and the table gradient."""
+    cfg = HashGridConfig(num_levels=8, level_dim=2, base_resolution=16,
+                         log2_hashmap_size=10, desired_resolution=128,
+                         shard_levels=True)
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+
+    ref_out = jax.jit(lambda t: hashgrid_encode(t, x, cfg))(table)
+    ref_grad = jax.jit(jax.grad(lambda t: _encode_loss(t, x, cfg)))(table)
+
+    mesh = make_mesh_2d(4, 2)
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda t: hashgrid_encode(t, x, cfg))(table)
+        grad = jax.jit(jax.grad(lambda t: _encode_loss(t, x, cfg)))(table)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
+                                   atol=1e-6)
+
+
+def test_level_sharded_table_never_gathered():
+    """The compiled HLO must keep the table sharded: no all-gather whose
+    result is the full [L, T, F] stack (the whole point of the layout is
+    that only [M, L*F] features cross chips)."""
+    cfg = HashGridConfig(num_levels=8, level_dim=2, base_resolution=16,
+                         log2_hashmap_size=10, desired_resolution=128,
+                         shard_levels=True)
+    table = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+    table_bytes = table.size * 4
+
+    mesh = make_mesh_2d(4, 2)
+    with jax.sharding.set_mesh(mesh):
+        txt = (jax.jit(jax.grad(lambda t: _encode_loss(t, x, cfg)))
+               .lower(table).compile().as_text())
+    for line in txt.splitlines():
+        if "all-gather(" not in line:
+            continue
+        # shape like f32[8,1024,2]{...} at the head of the instruction
+        shape = line.split("=", 1)[1].strip().split("{")[0]
+        dims = shape.split("[")[1].split("]")[0]
+        n = int(np.prod([int(d) for d in dims.split(",") if d.strip()]))
+        assert n * 4 < table_bytes, f"full-table all-gather found: {line[:120]}"
+
+
+def test_constrain_noop_without_mesh():
+    x = jnp.ones((8, 4))
+    out = jax.jit(lambda v: constrain(v, "data", None) * 2.0)(x)
+    np.testing.assert_allclose(np.asarray(out), 2 * np.ones((8, 4)))
+
+
+def test_constrain_drops_unknown_axes():
+    mesh = make_mesh()  # 1-D data mesh: no 'model' axis
+    x = jnp.ones((8, 4))
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda v: constrain(v, "model", None) + 1.0)(x)
+    np.testing.assert_allclose(np.asarray(out), 2 * np.ones((8, 4)))
