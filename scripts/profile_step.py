@@ -60,6 +60,11 @@ def main():
     ap.add_argument("--candidates", type=int, default=512)
     ap.add_argument("--log2t", type=int, default=14)
     ap.add_argument("--backend", type=str, default="pallas")
+    ap.add_argument("--flat", type=float, default=None,
+                    help="flat_frac: profile the packed train path at this "
+                         "fraction (the -O operating point is 0.375)")
+    ap.add_argument("--coarse", type=int, default=0,
+                    help="coarse_steps for per-ray near/far tightening")
     args = ap.parse_args()
 
     from seal3d_tpu.data.synthetic import SyntheticScene
@@ -86,7 +91,8 @@ def main():
                      gridtype="wrap" if args.backend == "halo" else "hash")
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                          budget_per_ray=k, num_candidates=args.candidates,
-                         min_near=0.05)
+                         min_near=0.05, flat_frac=args.flat,
+                         coarse_steps=args.coarse)
     tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=n, random_bg=False)
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
     tr.init_state()
@@ -160,10 +166,31 @@ def main():
         jax.jit(lambda t, dt, v, ro, rd: rm.compact_topk(t, dt, v, ro, rd, k)),
         ts, dts, valid_all, rays_o, rays_d, n=20)
 
-    # ---- field query on marched samples
+    if args.flat:
+        budget = max(int(round(n * k * args.flat / 128)) * 128, 128)
+        march_flat = jax.jit(lambda bf, ro, rd: rm.march_rays_flat(
+            ro, rd, bf, bound=opts.bound, cascades=opts.cascades,
+            dt_gamma=opts.dt_gamma, max_steps=opts.max_steps, k=k,
+            budget=budget, num_candidates=opts.num_candidates,
+            min_near=opts.min_near, occ_stride=opts.occ_stride,
+            coarse_steps=opts.coarse_steps))
+        results["march_flat_total"] = timeit(march_flat, bitfield,
+                                             rays_o, rays_d, n=20)
+        results["march_flat_compact"] = timeit(
+            jax.jit(lambda t, dt, v, ro, rd: rm.compact_flat_direct(
+                t, dt, v, ro, rd, k, budget)),
+            ts, dts, valid_all, rays_o, rays_d, n=20)
+
+    # ---- field query on marched samples (flat path: only `budget` samples
+    # reach the field — size the field pieces accordingly)
     marched = march(bitfield, rays_o, rays_d)
-    xs = marched.xyzs.reshape(-1, 3)
-    dirs = marched.dirs.reshape(-1, 3)
+    if args.flat:
+        flat = march_flat(bitfield, rays_o, rays_d)
+        xs = flat.xyzs.reshape(-1, 3)
+        dirs = flat.dirs.reshape(-1, 3)
+    else:
+        xs = marched.xyzs.reshape(-1, 3)
+        dirs = marched.dirs.reshape(-1, 3)
 
     results["field_fwd"] = timeit(
         jax.jit(lambda p, x, dd: ngp.apply(p, fcfg, x, dd)), params, xs, dirs, n=20)
@@ -256,7 +283,8 @@ def main():
     print(f"\n{'piece':32s} {'ms':>8s} {'% of step':>9s}")
     for name, ms in results.items():
         print(f"{name:32s} {ms:8.2f} {100*ms/full:8.1f}%")
-    explained = (results["march_total"] + results["field_fwd_bwd"]
+    march_ms = results.get("march_flat_total", results["march_total"])
+    explained = (march_ms + results["field_fwd_bwd"]
                  + results["composite_fwd_bwd"] + results["adam_ema"]
                  + results["sample_batch"])
     print(f"\nsum(march+field_fwd_bwd+composite+adam+sample) = {explained:.1f} ms "

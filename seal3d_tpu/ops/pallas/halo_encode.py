@@ -44,7 +44,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_CORNERS = tuple((i & 1, (i >> 1) & 1, (i >> 2) & 1) for i in range(8))
 _CK = 128  # one-hot chunk (rows per matmul slice)
 
 
@@ -103,15 +102,39 @@ def _sample_setup(xs, scale, resolution, period):
     return row, o, frac
 
 
+def _trilinear_multihot(lane128, o, frac):
+    """Weighted 8-corner multi-hot over halo lanes, built separably.
+
+    One one-hot compare at the base corner's lane plus three interpolation
+    stages — lane strides 1 (z), 5 (y), 25 (x) via static circular rolls —
+    instead of eight compare/select builds. Support never wraps: the max
+    base lane is 3*25+3*5+3 = 93 and 93+31 = 124 < 128. The kernels are
+    VPU-bound on these mask builds (PERFORMANCE.md), so this is the hot
+    spot, not the MXU fetch."""
+    base = o[0] * 25 + o[1] * 5 + o[2]
+    m = (lane128 == base[:, :, None]).astype(jnp.float32)
+    for shift, f in ((1, frac[2]), (5, frac[1]), (25, frac[0])):
+        fm = f[:, :, None]
+        m = m * (1.0 - fm) + pltpu.roll(m, shift=shift, axis=2) * fm
+    return m
+
+
 def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
     ck = min(_CK, n_rows)
     n_chunks = n_rows // ck
+    fw = f_dim * LANES
 
     def kernel(scale_ref, res_ref, x_ref, tab_ref, out_ref):
         ps = x_ref.shape[2]
         xs = [x_ref[0, d] for d in range(3)]
         lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
+        # Feature-block sum mask: contracts the halo-lane axis per 128-lane
+        # feature block on the MXU (one [.,fw]@[fw,LANES] matmul) instead of
+        # a per-feature VPU tree-reduce over lanes.
+        fsum = (jax.lax.broadcasted_iota(jnp.int32, (fw, LANES), 0) // LANES
+                == jax.lax.broadcasted_iota(jnp.int32, (fw, LANES), 1)
+                ).astype(jnp.bfloat16)
 
         def level_body(l, _):
             row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
@@ -126,20 +149,14 @@ def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
                     a3, wide, (((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 rowsum = rs if rowsum is None else rowsum + rs
-            # weighted multi-hot over halo lanes: ml[s, lane] =
-            # sum_c w_c * (lane == lane(o+c))
-            ml = jnp.zeros((ps, LANES, LANES), jnp.float32)
-            for corner in _CORNERS:
-                lane_c = ((o[0] + corner[0]) * 25 + (o[1] + corner[1]) * 5
-                          + (o[2] + corner[2]))
-                w = jnp.ones_like(frac[0])
-                for d in range(3):
-                    w = w * jnp.where(corner[d] == 1, frac[d], 1.0 - frac[d])
-                ml = ml + jnp.where(lane128 == lane_c[:, :, None],
-                                    w[:, :, None], 0.0)
+            ml = _trilinear_multihot(lane128, o, frac)
+            prod = (jnp.concatenate([ml] * f_dim, axis=2) * rowsum
+                    ).astype(jnp.bfloat16)
+            red = jax.lax.dot_general(
+                prod, fsum, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             for f in range(f_dim):
-                out_ref[0, l * f_dim + f] = (
-                    ml * rowsum[:, :, f * LANES:(f + 1) * LANES]).sum(-1)
+                out_ref[0, l * f_dim + f] = red[:, :, f]
             return 0
 
         jax.lax.fori_loop(0, levels, level_body, 0)
@@ -167,15 +184,7 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
             row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
             if smoothstep:
                 frac = [f * f * (3.0 - 2.0 * f) for f in frac]
-            ml = jnp.zeros((ps, LANES, LANES), jnp.float32)
-            for corner in _CORNERS:
-                lane_c = ((o[0] + corner[0]) * 25 + (o[1] + corner[1]) * 5
-                          + (o[2] + corner[2]))
-                w = jnp.ones_like(frac[0])
-                for d in range(3):
-                    w = w * jnp.where(corner[d] == 1, frac[d], 1.0 - frac[d])
-                ml = ml + jnp.where(lane128 == lane_c[:, :, None],
-                                    w[:, :, None], 0.0)
+            ml = _trilinear_multihot(lane128, o, frac)
             # gb[s, f*128+lane] = ml[s, lane] * g_f[s]. (A two-contraction
             # dot_general over (ps, LANE) would avoid the reshape, but
             # Mosaic rejects multi-dim contractions — keep the flat view.)
