@@ -62,6 +62,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    help="march candidate ladder length (default: 256 when "
                         "coarse tightening is active and dt_gamma == 0, "
                         "else max_steps)")
+    p.add_argument("--occ_stride", type=int, default=4,
+                   help="test occupancy at every s-th march candidate "
+                        "(stride 4 measured faster AND better than 2; "
+                        "see PERFORMANCE.md)")
     p.add_argument("--adaptive_budget", action="store_true", default=None,
                    help="adapt the sample budget to measured occupancy "
                         "(the reference mean_count analog); on with -O")
@@ -97,7 +101,7 @@ def build_options(args) -> RenderOptions:
         budget_per_ray=args.budget_per_ray, num_candidates=num_candidates,
         num_steps=args.num_steps, upsample_steps=args.upsample_steps,
         min_near=args.min_near, bg_radius=args.bg_radius,
-        coarse_steps=coarse)
+        coarse_steps=coarse, occ_stride=getattr(args, "occ_stride", 4))
 
 
 def build_train_config(args) -> TrainConfig:

@@ -334,11 +334,16 @@ def compact_flat_direct(ts, dts, valid, rays_o, rays_d, k: int,
     nc = n * c
     flat_keep = keep.reshape(-1)
     idx = jnp.arange(nc, dtype=jnp.int32)
-    order = jnp.argsort(jnp.where(flat_keep, idx, idx + nc))
-    sel = order[:budget]
+    # Single-array sort: the key IS the flat index (offset by nc when
+    # dropped), so sorting keys alone recovers the selection order —
+    # `key mod nc` is the source index and `key < nc` the validity. Half
+    # the sort traffic of argsort's (key, index) pair sort.
+    skeys = jax.lax.sort(jnp.where(flat_keep, idx, idx + nc))
+    selk = skeys[:budget]
+    valid_f = selk < nc
+    sel = jnp.where(valid_f, selk, selk - nc)
     ts_f = jnp.take(ts.reshape(-1), sel)
     dts_f = jnp.take(dts.reshape(-1), sel)
-    valid_f = jnp.take(flat_keep, sel)
     ray_id = (sel // c).astype(jnp.int32)
     ro = jnp.take(rays_o, ray_id, axis=0)
     rd = jnp.take(rays_d, ray_id, axis=0)

@@ -46,8 +46,12 @@ class RenderOptions:
     # 'flat': global-budget ray-contiguous buffer (scatter-based; exact
     #         analog of the reference's shared sample pool).
     compaction: str = "topk"
-    # occupancy tested at every s-th candidate (see march_rays_grid)
-    occ_stride: int = 2
+    # Occupancy tested at every s-th candidate, result repeated stride-wise
+    # (see march_rays_grid). Hard-scene A/B at the recipe point: stride 4 is
+    # both ~25% faster AND +1.2 dB over stride 2 (kept samples cluster into
+    # contiguous runs through surfaces instead of alias-gapped singles);
+    # candidate-count reduction, by contrast, collapses quality — keep 256.
+    occ_stride: int = 4
     # On the topk path: sort-pack valid samples into a flat buffer of
     # flat_frac * N * K before the field query, so the network never runs on
     # invalid grid slots (the reference's mean_count pre-allocation analog,
