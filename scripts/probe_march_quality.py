@@ -24,14 +24,17 @@ def main():
     from seal3d_tpu.train.trainer import TrainConfig, Trainer
 
     ds = HardSyntheticScene().make_dataset(n_views=12, h=192, w=192, seed=0)
-    for tag, stride, cand in (("s2_c256", 2, 256), ("s4_c256", 4, 256),
-                              ("s2_c192", 2, 192), ("s4_c192", 4, 192)):
+    for tag, stride, cand, adap in (
+            ("s4_c256", 4, 256, False),          # current -O point
+            ("s4_c128_adaptive", 4, 128, True),  # span-adaptive, half ladder
+            ("s4_c192_adaptive", 4, 192, True),
+            ("s4_c256_adaptive", 4, 256, True)):
         fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15,
                          grid_backend="halo", gridtype="wrap")
         opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                              budget_per_ray=48, num_candidates=cand,
                              min_near=0.05, coarse_steps=64,
-                             occ_stride=stride)
+                             occ_stride=stride, span_adaptive=adap)
         tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
                            eval_chunk=2**14, eval_budget_per_ray=96,
                            random_bg=False, adaptive_budget=True)

@@ -119,13 +119,15 @@ def color(params, cfg: NGPConfig, x: jnp.ndarray, d: jnp.ndarray, geo_feat: jnp.
     return jax.nn.sigmoid(h)
 
 
-def apply(params, cfg: NGPConfig, x: jnp.ndarray, d: jnp.ndarray):
+def apply(params, cfg: NGPConfig, x: jnp.ndarray, d: jnp.ndarray,
+          valid: jnp.ndarray | None = None):
     # The sigma and color hash grids share identical configs, hence identical
     # corner indices for the same x — one stacked gather serves both (halves
-    # the dominant lookup cost vs calling density() + color()).
+    # the dominant lookup cost vs calling density() + color()). `valid` lets
+    # the halo kernel skip table chunks only packed-tail samples touch.
     feat, c_enc = hashgrid_encode_stacked(
         (params["encoder"], params["encoder_color"]),
-        _normalize(x, cfg.bound), cfg.grid)
+        _normalize(x, cfg.bound), cfg.grid, valid=valid)
     h = mlp_apply(params["sigma_net"], feat)
     sigma = trunc_exp(h[..., 0])
     geo_feat = h[..., 1:]

@@ -277,7 +277,8 @@ def _bucket_encode_bwd(cfg, res, g):
 _bucket_encode.defvjp(_bucket_encode_fwd, _bucket_encode_bwd)
 
 
-def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> jnp.ndarray:
+def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig,
+                    valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Encode positions.
 
     Args:
@@ -285,6 +286,9 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
       x: [..., input_dim] positions in [0, 1] (callers normalize by scene
         bound, like the reference does at nerf/network.py:100).
       cfg: static config.
+      valid: optional [...] bool mask; invalid (packed-tail) samples yield
+        zero features/grads and let the halo kernel skip table chunks
+        (other backends ignore it — their cost doesn't depend on it).
 
     Returns:
       [..., L * F] features (level-major, matching reference output layout
@@ -325,7 +329,8 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
 
         assert cfg.gridtype == "wrap", "halo backend requires gridtype='wrap'"
         stored = halo_expand(table, cfg)
-        out = halo_encode_fused(stored, xf, cfg)
+        vf = None if valid is None else valid.reshape(-1)
+        out = halo_encode_fused(stored, xf, vf, cfg)
         return out.reshape(*batch_shape, cfg.num_levels * f_dim)
 
     if cfg.backend == "bucket":
@@ -385,7 +390,8 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig) -> 
     return out.reshape(*batch_shape, cfg.num_levels * f_dim)
 
 
-def hashgrid_encode_stacked(tables, x: jnp.ndarray, cfg: HashGridConfig):
+def hashgrid_encode_stacked(tables, x: jnp.ndarray, cfg: HashGridConfig,
+                            valid: jnp.ndarray | None = None):
     """Encode through several SAME-CONFIG tables with one fused gather.
 
     NGP's sigma and color hash grids (reference nerf/network.py:32,56) share
@@ -401,7 +407,7 @@ def hashgrid_encode_stacked(tables, x: jnp.ndarray, cfg: HashGridConfig):
     """
     widths = [t.shape[-1] for t in tables]
     fused = jnp.concatenate(tables, axis=-1)
-    out = hashgrid_encode(fused, x, cfg)  # [..., L * sum(F)]
+    out = hashgrid_encode(fused, x, cfg, valid=valid)  # [..., L * sum(F)]
     f_total = sum(widths)
     out = out.reshape(*out.shape[:-1], cfg.num_levels, f_total)
     parts = []

@@ -127,6 +127,7 @@ def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
     def kernel(scale_ref, res_ref, x_ref, tab_ref, out_ref):
         ps = x_ref.shape[2]
         xs = [x_ref[0, d] for d in range(3)]
+        vmask = x_ref[0, 3] > 0.0
         lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
         # Feature-block sum mask: contracts the halo-lane axis per 128-lane
@@ -140,6 +141,9 @@ def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
             row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
             if smoothstep:
                 frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+            # NOTE: valid-range chunk-skipping was measured SLOWER here (a
+            # dynamic fori_loop carrying the 2 MB rowsum defeats Mosaic's
+            # matmul pipelining: +7 ms) — keep the static unroll.
             rowsum = None
             for k in range(n_chunks):
                 a3 = (row[:, :, None] == lane_ck + k * ck
@@ -150,6 +154,7 @@ def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
                     preferred_element_type=jnp.float32)
                 rowsum = rs if rowsum is None else rowsum + rs
             ml = _trilinear_multihot(lane128, o, frac)
+            ml = ml * vmask.astype(jnp.float32)[:, :, None]
             prod = (jnp.concatenate([ml] * f_dim, axis=2) * rowsum
                     ).astype(jnp.bfloat16)
             red = jax.lax.dot_general(
@@ -177,6 +182,7 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
 
         ps = x_ref.shape[2]
         xs = [x_ref[0, d] for d in range(3)]
+        vmask = x_ref[0, 3] > 0.0
         lane_ck = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, ck), 2)
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
 
@@ -184,7 +190,13 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
             row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
             if smoothstep:
                 frac = [f * f * (3.0 - 2.0 * f) for f in frac]
+            # Chunk-skipping was tried TWICE here (dynamic [kmin,kmax)
+            # fori_loop and per-chunk pl.when predication): both cost +3.3 ms
+            # over the unconditional unroll — Mosaic's software pipelining of
+            # the chunk matmul + gtab read-modify-write chain is worth more
+            # than the skipped MACs at these shapes. Keep the static unroll.
             ml = _trilinear_multihot(lane128, o, frac)
+            ml = ml * vmask.astype(jnp.float32)[:, :, None]
             # gb[s, f*128+lane] = ml[s, lane] * g_f[s]. (A two-contraction
             # dot_general over (ps, LANE) would avoid the reshape, but
             # Mosaic rejects multi-dim contractions — keep the flat view.)
@@ -208,13 +220,22 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
     return kernel
 
 
-def _prep_x(x, tile):
+def _prep_x(x, valid, tile):
+    """Pack positions + a validity channel into the kernel input layout.
+
+    Channel 3 carries valid/invalid (1/0); the kernels use it to (a) skip
+    table chunks no valid sample touches and (b) zero the trilinear
+    multi-hot of padded/packed-tail slots. valid=None means all-valid
+    (pad rows still become 0)."""
     m = x.shape[0]
     pad = (-m) % tile
-    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    v = (jnp.ones((m,), jnp.float32) if valid is None
+         else valid.astype(jnp.float32))
+    xv = jnp.concatenate([x, v[:, None]], axis=-1)
+    xp = jnp.pad(xv, ((0, pad), (0, 0)))
     n_tiles = (m + pad) // tile
     ps = tile // LANES
-    x4 = xp.reshape(n_tiles, ps, LANES, 3).transpose(0, 3, 1, 2)
+    x4 = xp.reshape(n_tiles, ps, LANES, 4).transpose(0, 3, 1, 2)
     return x4, n_tiles, ps, pad
 
 
@@ -222,29 +243,31 @@ def _smem_specs(n):
     return [pl.BlockSpec(memory_space=pltpu.SMEM) for _ in range(n)]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def halo_encode_fused(stored, x, cfg, tile: int = 1024):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def halo_encode_fused(stored, x, valid, cfg, tile: int = 1024):
     """Fused halo encode.
 
     Args:
       stored: [L, B, F*128] f32 halo-stored stack from `halo_expand`
         (cast to bf16 on entry).
       x: [M, 3] positions in [0, 1].
+      valid: [M] bool or None — invalid (packed-tail) samples produce zero
+        features/gradients and don't widen the per-tile chunk range.
       cfg: HashGridConfig with backend='halo', gridtype='wrap'.
       tile: points per grid step.
     Returns:
       [M, L*F] f32 features (level-major).
     """
-    return _fwd_impl(stored, x, cfg, tile)
+    return _fwd_impl(stored, x, valid, cfg, tile)
 
 
-def _fwd_impl(stored, x, cfg, tile):
+def _fwd_impl(stored, x, valid, cfg, tile):
     levels, n_rows, fw = stored.shape
     f_dim = fw // LANES
     t = 2**cfg.log2_hashmap_size
     period = round(t ** (1 / 3))
     m = x.shape[0]
-    x4, n_tiles, ps, _ = _prep_x(x, tile)
+    x4, n_tiles, ps, _ = _prep_x(x, valid, tile)
     scales, resolutions = _level_consts(cfg)
     kernel = _make_fwd_kernel(levels, f_dim, n_rows, period,
                               cfg.interpolation == "smoothstep")
@@ -252,7 +275,7 @@ def _fwd_impl(stored, x, cfg, tile):
         kernel,
         grid=(n_tiles,),
         in_specs=_smem_specs(2) + [
-            pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,16 +294,16 @@ def _fwd_impl(stored, x, cfg, tile):
     return out[:m]
 
 
-def _fwd(stored, x, cfg, tile):
-    return _fwd_impl(stored, x, cfg, tile), (stored.shape, x)
+def _fwd(stored, x, valid, cfg, tile):
+    return _fwd_impl(stored, x, valid, cfg, tile), (stored.shape, x, valid)
 
 
 def _bwd(cfg, tile, res, g):
-    (levels, n_rows, fw), x = res
+    (levels, n_rows, fw), x, valid = res
     f_dim = fw // LANES
     t = 2**cfg.log2_hashmap_size
     period = round(t ** (1 / 3))
-    x4, n_tiles, ps, pad = _prep_x(x, tile)
+    x4, n_tiles, ps, pad = _prep_x(x, valid, tile)
     g_p = jnp.pad(g, ((0, pad), (0, 0)))
     g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
     scales, resolutions = _level_consts(cfg)
@@ -290,7 +313,7 @@ def _bwd(cfg, tile, res, g):
         kernel,
         grid=(n_tiles,),
         in_specs=_smem_specs(2) + [
-            pl.BlockSpec((1, 3, ps, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, levels * f_dim, ps, LANES),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -302,7 +325,7 @@ def _bwd(cfg, tile, res, g):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(jnp.asarray(scales), jnp.asarray(resolutions), x4, g4)
-    return gtab, None
+    return gtab, None, None
 
 
 halo_encode_fused.defvjp(_fwd, _bwd)

@@ -110,12 +110,21 @@ def occupancy_at(x: jnp.ndarray, dt: jnp.ndarray, bitfield: jnp.ndarray,
 
 def candidate_ts(nears: jnp.ndarray, fars: jnp.ndarray, num_steps: int,
                  dt_gamma: float, bound: float, max_steps: int,
-                 perturb: jnp.ndarray | None = None):
+                 perturb: jnp.ndarray | None = None,
+                 span_adaptive: bool = False):
     """Cone-stepped candidate distances along each ray.
 
     Returns (ts [N, T], dts [N, T], valid [N, T]) with the reference step
     schedule dt = clamp(t * dt_gamma, dt_min, dt_max) (raymarching.cu:365).
     `perturb` is an optional [N] uniform jitter of the start offset.
+
+    span_adaptive (dt_gamma == 0 only): per-ray step max(dt_min, span/T)
+    instead of the global dt_min, so T candidates always cover the whole
+    (coarse-tightened) [near, far] interval — rays with short occupied spans
+    keep dt_min density while long-span rays coarsen instead of losing their
+    far end. This halves the ladder length the march needs (the analog of
+    the reference's per-ray cone widening, raymarching.cu:365, driven by
+    interval length instead of distance).
     """
     n = nears.shape[0]
     dt_min = 2.0 * SQRT3 / max_steps
@@ -126,8 +135,13 @@ def candidate_ts(nears: jnp.ndarray, fars: jnp.ndarray, num_steps: int,
 
     if dt_gamma <= 0.0:
         k = jnp.arange(num_steps, dtype=jnp.float32)
-        ts = t0[:, None] + k[None, :] * dt_min
-        dts = jnp.full_like(ts, dt_min)
+        if span_adaptive:
+            dt_ray = jnp.clip((fars - nears) / num_steps, dt_min, dt_max)
+            ts = t0[:, None] + k[None, :] * dt_ray[:, None]
+            dts = jnp.broadcast_to(dt_ray[:, None], ts.shape)
+        else:
+            ts = t0[:, None] + k[None, :] * dt_min
+            dts = jnp.full_like(ts, dt_min)
     else:
         def step(t, _):
             dt = jnp.clip(t * dt_gamma, dt_min, dt_max)
@@ -367,7 +381,8 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     min_near: float = 0.05,
                     aabb: jnp.ndarray | None = None,
                     occ_stride: int = 2,
-                    coarse_steps: int = 0) -> MarchedRays:
+                    coarse_steps: int = 0,
+                    span_adaptive: bool = False) -> MarchedRays:
     """Occupancy march straight to the flat packed layout (train fast path).
 
     Same candidate ladder / occupancy semantics as march_rays_grid, but the
@@ -383,7 +398,8 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
                                      cascades, bound, n_steps=coarse_steps)
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma,
-                                  bound, max_steps, perturb)
+                                  bound, max_steps, perturb,
+                                  span_adaptive=span_adaptive)
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     if occ_stride > 1 and num_candidates % occ_stride == 0:
         occ = occupancy_at(xyz[:, ::occ_stride], dts[:, ::occ_stride],
@@ -404,7 +420,8 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     min_near: float = 0.05,
                     aabb: jnp.ndarray | None = None,
                     occ_stride: int = 2,
-                    coarse_steps: int = 0) -> MarchedGrid:
+                    coarse_steps: int = 0,
+                    span_adaptive: bool = False) -> MarchedGrid:
     """Occupancy march producing the per-ray [N, K] layout (see compact_topk).
 
     occ_stride > 1 tests the bitfield at every s-th candidate and broadcasts
@@ -422,7 +439,8 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
                                      cascades, bound, n_steps=coarse_steps)
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
-                                  max_steps, perturb)
+                                  max_steps, perturb,
+                                  span_adaptive=span_adaptive)
     xyz = rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :]
     if occ_stride > 1 and num_candidates % occ_stride == 0:
         occ = occupancy_at(xyz[:, ::occ_stride], dts[:, ::occ_stride],

@@ -62,6 +62,10 @@ class RenderOptions:
     # before building the candidate ladder (ops/raymarch.coarse_tighten);
     # 0 disables. Single-cascade scenes only.
     coarse_steps: int = 0
+    # Per-ray candidate spacing max(dt_min, span/num_candidates) instead of
+    # the global dt_min (dt_gamma == 0 only): the ladder always covers the
+    # tightened interval, so num_candidates can halve (see candidate_ts).
+    span_adaptive: bool = False
 
     @cached_property
     def cascades(self) -> int:
@@ -116,8 +120,15 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
                 dt_gamma=opts.dt_gamma, max_steps=opts.max_steps, k=k,
                 budget=budget, num_candidates=opts.num_candidates,
                 perturb=jitter, min_near=opts.min_near, aabb=aabb,
-                occ_stride=opts.occ_stride, coarse_steps=opts.coarse_steps)
-            sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
+                occ_stride=opts.occ_stride, coarse_steps=opts.coarse_steps,
+                span_adaptive=opts.span_adaptive)
+            try:
+                # backbones that take the packed-valid mask (NGP) let the
+                # halo kernel skip table chunks only tail slots touch
+                sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs,
+                                         valid=mf.valid)
+            except TypeError:
+                sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
             sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
             out = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
                                  mf.offsets, mf.valid, n)
@@ -130,6 +141,7 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
                 num_candidates=opts.num_candidates, perturb=jitter,
                 min_near=opts.min_near, aabb=aabb, occ_stride=opts.occ_stride,
                 coarse_steps=opts.coarse_steps,
+                span_adaptive=opts.span_adaptive,
             )
             sigma, rgb = field.apply(params, cfg, m.xyzs.reshape(-1, 3),
                                      m.dirs.reshape(-1, 3))

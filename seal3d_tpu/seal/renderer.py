@@ -33,11 +33,14 @@ def make_teacher_field(base_field, mapper: SealMapper, base_cfg,
 
     class TeacherField:
         @staticmethod
-        def apply(params, cfg, x, d):
+        def apply(params, cfg, x, d, valid=None):
             xm, dm, mask = map_to_origin(mapper, x, d)
             if dm is None:
                 dm = d
-            sigma, rgb = base_field.apply(params, cfg, xm, dm)
+            try:
+                sigma, rgb = base_field.apply(params, cfg, xm, dm, valid=valid)
+            except TypeError:
+                sigma, rgb = base_field.apply(params, cfg, xm, dm)
             if secondary_field is not None:
                 s2, r2 = secondary_field.apply(secondary_params, secondary_cfg, xm, dm)
                 sigma = jnp.where(mask, s2, sigma)

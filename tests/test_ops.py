@@ -345,6 +345,64 @@ def test_hashgrid_halo_backend_matches_take_oracle():
                                np.asarray(gr) / scale, atol=2e-2)
 
 
+def test_candidate_ts_span_adaptive_covers_interval():
+    """span_adaptive ladders must cover the whole [near, far] interval for
+    every ray (long spans coarsen instead of truncating) while short spans
+    keep the dt_min density of the uniform ladder."""
+    from seal3d_tpu.ops.raymarch import SQRT3, candidate_ts
+
+    nears = jnp.array([0.1, 0.1], jnp.float32)
+    fars = jnp.array([0.3, 3.0], jnp.float32)  # short and long span
+    c, max_steps = 128, 512
+    dt_min = 2.0 * SQRT3 / max_steps
+    ts, dts, valid = candidate_ts(nears, fars, c, 0.0, 1.0, max_steps,
+                                  span_adaptive=True)
+    # last candidate reaches the far bound (no truncation of the long ray)
+    assert float(ts[1, -1]) >= float(fars[1]) - float(dts[1, 0]) * 1.5
+    # short ray keeps dt_min spacing
+    np.testing.assert_allclose(np.asarray(dts[0]), dt_min, rtol=1e-6)
+    # uniform ladder (default) truncates the long ray at c * dt_min
+    ts_u, _, valid_u = candidate_ts(nears, fars, c, 0.0, 1.0, max_steps)
+    assert float(ts_u[1, -1]) < float(fars[1])
+
+
+def test_hashgrid_halo_valid_mask_skip():
+    """With a packed-valid mask, the halo kernel must (a) return features
+    identical to the all-valid call on VALID rows, (b) zero features on
+    invalid rows, and (c) route zero gradient from invalid rows even when
+    their cotangent is nonzero (the chunk-skip path must not change any
+    valid sample's value or gradient)."""
+    cfg = HashGridConfig(log2_hashmap_size=12, num_levels=4,
+                         desired_resolution=256, gridtype="wrap",
+                         backend="halo")
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg, std=0.5)
+    m = 300
+    x = jax.random.uniform(jax.random.PRNGKey(1), (m, 3))
+    valid = jnp.arange(m) % 3 != 1  # interleaved invalid slots
+
+    full = hashgrid_encode(tab, x, cfg)
+    masked = hashgrid_encode(tab, x, cfg, valid=valid)
+    np.testing.assert_allclose(np.asarray(masked)[np.asarray(valid)],
+                               np.asarray(full)[np.asarray(valid)],
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(np.asarray(masked)[~np.asarray(valid)]).max() == 0.0
+
+    # gradient: cotangent nonzero EVERYWHERE, but invalid rows contribute 0
+    g_masked = jax.grad(lambda t: hashgrid_encode(t, x, cfg, valid=valid).sum())(tab)
+    g_oracle = jax.grad(
+        lambda t: jnp.where(valid[:, None],
+                            hashgrid_encode(t, x, cfg), 0.0).sum())(tab)
+    np.testing.assert_allclose(np.asarray(g_masked), np.asarray(g_oracle),
+                               rtol=1e-4, atol=1e-4)
+
+    # tail-packed mask (the real train layout: valid prefix, dead tail)
+    valid_tail = jnp.arange(m) < 180
+    masked_t = hashgrid_encode(tab, x, cfg, valid=valid_tail)
+    np.testing.assert_allclose(np.asarray(masked_t)[:180],
+                               np.asarray(full)[:180], rtol=1e-6, atol=1e-6)
+    assert np.abs(np.asarray(masked_t)[180:]).max() == 0.0
+
+
 def test_hashgrid_tv_loss():
     from seal3d_tpu.ops.hashgrid import hashgrid_tv_loss
 
