@@ -75,6 +75,10 @@ def common_parser(desc: str) -> argparse.ArgumentParser:
                    help="synthetic-scene train view count (0 = per-split "
                         "default; the reference's D-NeRF captures are dense "
                         "— use 48-100 for dynamic convergence runs)")
+    p.add_argument("--views_per_time", type=int, default=0,
+                   help="synthetic_dynamic: simultaneous train views per "
+                        "time step (0 = scene default 2; 4 constrains "
+                        "per-time geometry much harder)")
     p.add_argument("--gui", action="store_true")
     p.add_argument("--W", type=int, default=800)
     p.add_argument("--H", type=int, default=800)
@@ -135,8 +139,12 @@ def load_dataset(args, split: str = "trainval"):
         if split in ("trainval", "train") and getattr(args, "num_views", 0):
             n = args.num_views
         seed = {"trainval": 0, "train": 0, "val": 1, "test": 2}.get(split, 2)
+        kw = {}
+        vpt = getattr(args, "views_per_time", 0)
+        if vpt and "dynamic" in args.path:
+            kw["views_per_time"] = vpt
         return scene.make_dataset(n_views=n, h=args.H // args.downscale,
-                                  w=args.W // args.downscale, seed=seed)
+                                  w=args.W // args.downscale, seed=seed, **kw)
     return NeRFDataset.load(args.path, split=split, downscale=args.downscale,
                             scale=args.scale, offset=tuple(args.offset),
                             use_error_map=args.error_map)

@@ -235,19 +235,25 @@ class DynamicSyntheticScene(SyntheticScene):
 
     def make_dataset(self, n_views: int = 24, h: int = 128, w: int = 128,
                      radius: float = 2.2, seed: int = 0,
-                     fov_deg: float = 50.0) -> NeRFDataset:
+                     fov_deg: float = 50.0,
+                     views_per_time: int = 2) -> NeRFDataset:
         rng = np.random.default_rng(seed)
         poses = rand_poses(rng, n_views, radius=radius, theta_range=(30, 120))
         fx = fy = 0.5 * w / np.tan(0.5 * np.deg2rad(fov_deg))
         intr = np.array([fx, fy, w / 2.0, h / 2.0], np.float32)
-        # Two poses per time step: strictly one-view-per-time data leaves the
-        # per-time geometry unconstrained (the deformation net can fabricate
-        # a different 3D scene for every frame and fit each single view —
-        # measured: train 24 dB / held-out 15 dB). The reference's D-NeRF
-        # scenes avoid this through densely-sampled slow motion; a second
-        # simultaneous view is this benchmark's equivalent constraint.
-        n_times = max(n_views // 2, 1)
-        times = np.repeat(np.linspace(0.0, 1.0, n_times), 2)[:n_views]
+        # >= 2 poses per time step: strictly one-view-per-time data leaves
+        # the per-time geometry unconstrained (the deformation net can
+        # fabricate a different 3D scene for every frame and fit each single
+        # view — measured: train 24 dB / held-out 15 dB). The reference's
+        # D-NeRF scenes avoid this through densely-sampled slow motion;
+        # simultaneous views are this benchmark's equivalent constraint
+        # (views_per_time=4 is the convergence-run setting, see
+        # PERFORMANCE.md D-NeRF section).
+        vpt = max(views_per_time, 1)
+        n_times = max(n_views // vpt, 1)
+        times = np.repeat(np.linspace(0.0, 1.0, n_times), vpt)[:n_views]
+        if len(times) < n_views:  # n_views not divisible by vpt
+            times = np.concatenate([times, np.ones(n_views - len(times))])
         times = times.astype(np.float32)
         render = jax.jit(self.render_rays_t)
         images = []

@@ -94,3 +94,17 @@ def test_dnerf_trains_dynamic_scene():
     p1 = tr.evaluate(max_views=2)
     print(f"dnerf psnr {p0:.2f} -> {p1:.2f}")
     assert p1 > p0 + 2.0
+
+
+def test_views_per_time_dataset():
+    """views_per_time controls the simultaneous-view grouping: times repeat
+    in blocks of vpt and the number of distinct times shrinks accordingly."""
+    from seal3d_tpu.data.synthetic import DynamicSyntheticScene
+
+    scene = DynamicSyntheticScene()
+    ds = scene.make_dataset(n_views=8, h=12, w=12, seed=0, views_per_time=4)
+    t = np.asarray(ds.times)
+    assert len(np.unique(t)) == 2
+    assert (t[:4] == t[0]).all() and (t[4:] == t[4]).all()
+    ds2 = scene.make_dataset(n_views=8, h=12, w=12, seed=0)  # default 2/time
+    assert len(np.unique(np.asarray(ds2.times))) == 4
