@@ -178,6 +178,23 @@ class SealViewer(NeRFViewer):
             n = self.ctl.finish_stroke()
             print(f"[gui] stroke lifted to {n} surface points")
 
+    def _export_mesh(self, resolution: int = 192):
+        """Marching-cubes export of the active model (reference mesh button,
+        nerf/gui.py save_mesh callback)."""
+        import os
+
+        from seal3d_tpu.runtime.mesh_export import extract_geometry, save_mesh
+
+        tr = self.render_trainer
+        verts, tris = extract_geometry(
+            lambda x: self.ctl.field_mod.density(
+                tr.state.ema_params, self.ctl.fcfg, x)["sigma"],
+            bound=self.args.bound, resolution=resolution,
+            threshold=min(10.0, float(tr.state.occ.mean_density)))
+        path = os.path.join(self.args.workspace, "meshes", "gui.ply")
+        save_mesh(path, verts, tris)
+        print(f"[gui] mesh {len(verts)} verts -> {path}")
+
     def _config_and_start(self):
         s = self.session
         if s.state is ToolState.TEXTURE and self.texture_path:
@@ -212,6 +229,38 @@ class SealViewer(NeRFViewer):
                                callback=lambda: self.ctl.override_teacher())
                 dpg.add_button(label="reset",
                                callback=lambda: self.ctl.reset_teacher())
+            # brush parameters (reference sliders, SealNeRF/gui.py:692-760)
+            with dpg.group(horizontal=True):
+                dpg.add_slider_float(
+                    label="pressure", default_value=self.session.brush_pressure,
+                    min_value=0.0, max_value=0.2, width=120,
+                    callback=lambda s, v: setattr(
+                        self.session, "brush_pressure", v))
+                dpg.add_slider_float(
+                    label="depth", default_value=self.session.brush_depth,
+                    min_value=0.0, max_value=2.0, width=120,
+                    callback=lambda s, v: setattr(
+                        self.session, "brush_depth", v))
+            with dpg.group(horizontal=True):
+                dpg.add_slider_float(
+                    label="attenuation",
+                    default_value=self.session.attenuation_distance,
+                    min_value=0.0, max_value=0.2, width=120,
+                    callback=lambda s, v: setattr(
+                        self.session, "attenuation_distance", v))
+                dpg.add_combo(("linear", "dry"), label="mode",
+                              default_value=self.session.attenuation_mode,
+                              width=80,
+                              callback=lambda s, v: setattr(
+                                  self.session, "attenuation_mode", v))
+            # recolor picker (rgb edits, reference gui.py:762-790); alpha
+            # toggles whether the edit carries a color at all
+            dpg.add_color_edit(label="edit color", default_value=(255, 0, 0, 0),
+                               callback=lambda s, v: setattr(
+                                   self.session, "rgb",
+                                   [v[0], v[1], v[2]] if v[3] > 0 else None))
+            dpg.add_button(label="export mesh",
+                           callback=lambda: self._export_mesh())
             dpg.add_checkbox(label="show student",
                              callback=lambda s, v: setattr(
                                  self.ctl, "show_student", v))
