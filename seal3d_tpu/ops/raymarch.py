@@ -412,6 +412,107 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     return jax.tree.map(jax.lax.stop_gradient, out)
 
 
+def march_rays_flat_grouped(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                            bitfield: jnp.ndarray, bound: float,
+                            cascades: int, max_steps: int, k: int,
+                            budget: int, num_candidates: int,
+                            perturb: jnp.ndarray | None = None,
+                            min_near: float = 0.05,
+                            aabb: jnp.ndarray | None = None,
+                            occ_stride: int = 4,
+                            coarse_steps: int = 0) -> MarchedRays:
+    """Group-granular flat march: the compaction sort runs over candidate
+    GROUPS of `occ_stride`, not candidates (uniform-ladder / dt_gamma==0
+    fast path).
+
+    Key fact the candidate-level path leaves on the table: with occ_stride s
+    the occupancy bit is constant across each run of s consecutive candidates
+    (march_rays_flat tests every s-th candidate and repeats the bit), and the
+    remaining validity terms (ts < far, |xyz| <= bound) only trim the ends of
+    a ray's interval. So group validity == first-member validity, and the
+    whole select-and-pack can run on [N, C/s] group representatives: the
+    candidate ladder, the bitfield gather, AND the packing sort all shrink by
+    s (the sort was the largest march piece, PERFORMANCE.md). Kept groups
+    expand to their s candidates arithmetically (ts = t0 + idx*dt); members
+    that individually fail ts/bound at the far boundary are carried as
+    valid=False slots inside the segment — composite_flat masks them, at a
+    cost of <~2 groups' padding per ray.
+
+    Semantics deltas vs march_rays_flat: over-budget rays subsample every
+    stride-th GROUP (deltas scaled by the stride, as before) instead of
+    every stride-th candidate, and the budget is consumed in whole groups.
+    Same role as the reference's mean_count pool + random ray dropping
+    (raymarching/raymarching.py:198-204).
+
+    OPTIONAL (RenderOptions.group_compact, default off): the sustained-point
+    A/B measured only +2% step rate — the single-sort flat march already
+    made the sort cheap — while the group-boundary pad slots consume budget
+    and cost ~0.6 dB at equal steps (see PERFORMANCE.md).
+
+    Equivalent of reference `march_rays_train` (raymarching.cu:312-490).
+    """
+    g = occ_stride
+    n = rays_o.shape[0]
+    cg = num_candidates // g
+    kg = max(k // g, 1)
+    budget_g = budget // g
+    if aabb is None:
+        aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
+                         jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    if coarse_steps > 0:
+        nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
+                                     cascades, bound, n_steps=coarse_steps)
+    dt_min = 2.0 * SQRT3 / max_steps
+    dt_max = 2.0 * SQRT3 * bound / GRID_SIZE
+    del dt_max  # uniform ladder: dt == dt_min (dt_gamma == 0 contract)
+    t0 = nears
+    if perturb is not None:
+        t0 = t0 + perturb * dt_min
+    # Group-representative ladder: first member of each group of g.
+    gk = jnp.arange(cg, dtype=jnp.float32) * (g * dt_min)
+    ts_g = t0[:, None] + gk[None, :]                      # [N, CG]
+    xyz_g = rays_o[:, None, :] + ts_g[..., None] * rays_d[:, None, :]
+    dts_g = jnp.full_like(ts_g, dt_min)
+    occ = occupancy_at(xyz_g, dts_g, bitfield, cascades, bound)
+    valid_g = (ts_g < fars[:, None]) & occ & (jnp.abs(xyz_g).max(-1) <= bound)
+    # Per-ray group budget: over-kg rays keep every stride-th valid group.
+    rank = jnp.cumsum(valid_g.astype(jnp.int32), axis=1)
+    count = rank[:, -1:]
+    stride = jnp.maximum(jnp.ceil(count / kg).astype(jnp.int32), 1)
+    keep = valid_g & (((rank - 1) % stride) == 0)
+    # Single-array sort over N*CG group keys (see compact_flat_direct).
+    ncg = n * cg
+    idx = jnp.arange(ncg, dtype=jnp.int32)
+    skeys = jax.lax.sort(jnp.where(keep.reshape(-1), idx, idx + ncg))
+    selg = skeys[:budget_g]
+    kept_g = selg < ncg
+    selg = jnp.where(kept_g, selg, selg - ncg)
+    ray_g = selg // cg                                    # [BG]
+    gidx = selg % cg
+    # Expand each kept group to its g member candidates.
+    j = jnp.arange(g, dtype=jnp.int32)
+    cand = (gidx[:, None] * g + j[None, :]).reshape(-1)   # [BG*g]
+    ray_id = jnp.repeat(ray_g, g).astype(jnp.int32)
+    ts_f = jnp.take(t0, ray_id) + cand.astype(jnp.float32) * dt_min
+    dts_f = dt_min * jnp.take(stride[:, 0], ray_id).astype(jnp.float32)
+    rd = jnp.take(rays_d, ray_id, axis=0)
+    xyzs = jnp.take(rays_o, ray_id, axis=0) + ts_f[:, None] * rd
+    valid_f = (jnp.repeat(kept_g, g)
+               & (ts_f < jnp.take(fars, ray_id))
+               & (jnp.abs(xyzs).max(-1) <= bound))
+    counts = keep.sum(1).astype(jnp.int32) * g            # incl. pad slots
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    kept = (jnp.minimum(starts + counts, budget)
+            - jnp.minimum(starts, budget))
+    out = MarchedRays(
+        xyzs=xyzs, dirs=rd, deltas=dts_f, ts=ts_f,
+        ray_id=jnp.clip(ray_id, 0, n - 1), valid=valid_f,
+        offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0))
+    return jax.tree.map(jax.lax.stop_gradient, out)
+
+
 def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     bitfield: jnp.ndarray, bound: float, cascades: int,
                     dt_gamma: float, max_steps: int, k: int,

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 from seal3d_tpu.ops.composite import composite_dense, composite_flat
 from seal3d_tpu.ops.raymarch import (march_rays, march_rays_flat,
-                                     march_rays_grid, near_far_from_aabb,
-                                     sph_from_ray)
+                                     march_rays_flat_grouped, march_rays_grid,
+                                     near_far_from_aabb, sph_from_ray)
 
 
 @dataclass(frozen=True)
@@ -66,6 +66,16 @@ class RenderOptions:
     # the global dt_min (dt_gamma == 0 only): the ladder always covers the
     # tightened interval, so num_candidates can halve (see candidate_ts).
     span_adaptive: bool = False
+    # Group-granular packed march (march_rays_flat_grouped): the candidate
+    # ladder, bitfield gather, and packing sort run over groups of occ_stride
+    # candidates instead of candidates (~s-fold smaller), exploiting that
+    # occupancy is group-constant at occ_stride. Applies on the flat path
+    # when dt_gamma == 0 and shapes divide; ignored otherwise.
+    # Default OFF: measured at the sustained recipe point it buys only +2%
+    # (92.5k vs 90.6k rays/s — the single-sort march already made the sort
+    # cheap) and costs ~0.6 dB at equal steps from group-boundary padding
+    # slots eating budget (A/B in PERFORMANCE.md).
+    group_compact: bool = False
 
     @cached_property
     def cascades(self) -> int:
@@ -114,14 +124,27 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
             # [N, K] grid and its top_k never exist) — the field runs on
             # `budget` real samples instead of all N*K grid slots.
             budget = max(int(round(n * k * opts.flat_frac / 128)) * 128, 128)
-            mf = march_rays_flat(
-                rays_o, rays_d, bitfield,
-                bound=opts.bound, cascades=opts.cascades,
-                dt_gamma=opts.dt_gamma, max_steps=opts.max_steps, k=k,
-                budget=budget, num_candidates=opts.num_candidates,
-                perturb=jitter, min_near=opts.min_near, aabb=aabb,
-                occ_stride=opts.occ_stride, coarse_steps=opts.coarse_steps,
-                span_adaptive=opts.span_adaptive)
+            s = opts.occ_stride
+            if (opts.group_compact and opts.dt_gamma == 0.0
+                    and not opts.span_adaptive and s > 1
+                    and opts.num_candidates % s == 0 and k % s == 0
+                    and budget % s == 0):
+                mf = march_rays_flat_grouped(
+                    rays_o, rays_d, bitfield,
+                    bound=opts.bound, cascades=opts.cascades,
+                    max_steps=opts.max_steps, k=k, budget=budget,
+                    num_candidates=opts.num_candidates, perturb=jitter,
+                    min_near=opts.min_near, aabb=aabb, occ_stride=s,
+                    coarse_steps=opts.coarse_steps)
+            else:
+                mf = march_rays_flat(
+                    rays_o, rays_d, bitfield,
+                    bound=opts.bound, cascades=opts.cascades,
+                    dt_gamma=opts.dt_gamma, max_steps=opts.max_steps, k=k,
+                    budget=budget, num_candidates=opts.num_candidates,
+                    perturb=jitter, min_near=opts.min_near, aabb=aabb,
+                    occ_stride=s, coarse_steps=opts.coarse_steps,
+                    span_adaptive=opts.span_adaptive)
             try:
                 # backbones that take the packed-valid mask (NGP) let the
                 # halo kernel skip table chunks only tail slots touch
