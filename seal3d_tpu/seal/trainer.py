@@ -125,13 +125,14 @@ class SealTrainer(Trainer):
 
     # ------------------------------------------------------------ teacher side
 
-    def render_teacher_view(self, pose, h=None, w=None, chunk=8192,
+    def render_teacher_view(self, pose, h=None, w=None, chunk=None,
                             bg_color: float = 1.0):
         """Render one full view through the (mapped) teacher."""
         from seal3d_tpu.data.rays import get_full_rays
 
         h = h or self.dataset.h
         w = w or self.dataset.w
+        chunk = chunk or self.cfg.eval_chunk
         rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
         imgs, deps = [], []
         n = h * w
@@ -170,7 +171,9 @@ class SealTrainer(Trainer):
         qchunk = 2**16
 
         def teacher_query(points, dirs):
-            outs_s, outs_c = [], []
+            # dispatch all chunks async, sync ONCE at the end (a per-chunk
+            # np.asarray would round-trip the device per 64k points)
+            outs_s, outs_c, lens = [], [], []
             n = points.shape[0]
             for i in range(0, n, qchunk):
                 p = jnp.asarray(points[i : i + qchunk])
@@ -180,9 +183,11 @@ class SealTrainer(Trainer):
                     p = jnp.pad(p, ((0, pad), (0, 0)))
                     d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
                 s, c = self._teacher_apply(self.teacher_params, p, d)
-                outs_s.append(np.asarray(s)[: min(qchunk, n - i)])
-                outs_c.append(np.asarray(c)[: min(qchunk, n - i)])
-            return np.concatenate(outs_s), np.concatenate(outs_c)
+                outs_s.append(s)
+                outs_c.append(c)
+                lens.append(min(qchunk, n - i))
+            return (np.concatenate([np.asarray(s)[:l] for s, l in zip(outs_s, lens)]),
+                    np.concatenate([np.asarray(c)[:l] for c, l in zip(outs_c, lens)]))
 
         # ---- local: inside edit region, mapped back to source
         if pcfg.local_point_step > 0:
@@ -271,11 +276,14 @@ class SealTrainer(Trainer):
     def _build_seal_steps(self):
         field, fcfg, opts = self.field, self.fcfg, self.opts
 
-        teacher_opts = RenderOptions(
-            bound=opts.bound, dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
-            budget_per_ray=self.cfg.eval_budget_per_ray,
-            num_candidates=opts.num_candidates, min_near=opts.min_near,
-            density_scale=opts.density_scale, bg_radius=opts.bg_radius)
+        # Teacher renders (proxying + previews) run at the tuned eval point:
+        # same coarse tightening / occ_stride as training plus flat packing —
+        # the hacked bitfield keeps the edit region marchable either way.
+        import dataclasses
+
+        teacher_opts = dataclasses.replace(
+            opts, budget_per_ray=self.cfg.eval_budget_per_ray,
+            flat_frac=self.cfg.eval_flat_frac)
 
         def render_teacher(params, bitfield, rays_o, rays_d, bg_color):
             return render_rays(params, self.teacher_field, fcfg, bitfield,
@@ -412,6 +420,10 @@ class SealTrainer(Trainer):
             # fresh optimizer state for stage 2 (unfreeze + restore lr)
             self.state = self.state._replace(
                 opt_state=self.optimizer.init(self.state.params))
+            # warm start: occupancy is sharp (teacher-derived + full refresh
+            # below), so the budget retune can fire at the first measured
+            # boundary instead of waiting out the full-update phase
+            self.cfg.retune_warm = True
             t0 = time.time()
             # occupancy refresh keeps the hack applied
             self.update_grid_hacked(jax.random.PRNGKey(7), full=True)

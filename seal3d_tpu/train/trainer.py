@@ -58,6 +58,9 @@ class TrainConfig:
     # mean_count pre-allocation (raymarching.py:198-204) as a re-jit bucket.
     adaptive_budget: bool = False
     budget_buckets: tuple = (0.25, 0.375, 0.5, 0.625, 0.75, 1.0)
+    # Retune even during the full-grid-update phase (set for warm starts
+    # whose occupancy is already sharp, e.g. the Seal finetune stage).
+    retune_warm: bool = False
     color_space: str = "srgb"  # 'linear' converts gt (reference --color_space)
     # LR multiplier for non-encoder params (the MLPs). The reference trains
     # D-NeRF nets at lr_net=1e-3 vs encoder lr=1e-2 (main_dnerf.py:25,
@@ -359,7 +362,14 @@ class Trainer:
                 fn = self._update_grid_full if bool(full) else self._update_grid_partial
                 self.state = fn(self.state, k1)
                 self._post_grid_update()
-                if self.cfg.adaptive_budget and not bool(full):
+                # From scratch, retuning waits out the full-update phase: the
+                # early mean_count reflects a still-dense grid and would churn
+                # through intermediate buckets (one re-jit each). A warm start
+                # (Seal finetune: occupancy inherited from a trained teacher)
+                # retunes as soon as mean_count has a measurement instead —
+                # otherwise the first 256 of a 500-step finetune run unpacked.
+                if self.cfg.adaptive_budget and (
+                        self.cfg.retune_warm or not bool(full)):
                     self._retune_budget()
             if blocked:
                 n = min(self.cfg.update_grid_interval, steps - i)

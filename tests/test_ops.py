@@ -549,3 +549,42 @@ def test_lpips_proxy_ranks_distortions():
     assert m.kind == "lpips_proxy"  # no weights in this image
     m.update(img, noisy)
     assert m.measure() > 0
+
+
+def test_encoder_factory():
+    """get_encoder parity with the reference factory (encoding.py:44-77):
+    names map to the right encoder and advertised output_dim matches."""
+    from seal3d_tpu.ops.encoding import get_encoder
+    from seal3d_tpu.ops.freq import freq_encode
+    from seal3d_tpu.ops.sh import sh_encode
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (17, 3))
+    d = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    enc = get_encoder("None")
+    assert enc.init(key) is None and enc.output_dim == 3
+    np.testing.assert_array_equal(enc.encode(None, x), x)
+
+    enc = get_encoder("frequency", multires=6)
+    out = enc.encode(enc.init(key), x)
+    assert out.shape == (17, enc.output_dim)
+    np.testing.assert_allclose(out, freq_encode(x, 6))
+
+    enc = get_encoder("sphere_harmonics", degree=4)
+    out = enc.encode(enc.init(key), d)
+    assert out.shape == (17, 16)
+    np.testing.assert_allclose(out, sh_encode(d, 4))
+
+    for name, gridtype in (("hashgrid", "hash"), ("tiledgrid", "tiled"),
+                           ("wrapgrid", "wrap")):
+        enc = get_encoder(name, num_levels=4, level_dim=2,
+                          log2_hashmap_size=8, desired_resolution=64)
+        assert enc.grid_cfg.gridtype == gridtype
+        params = enc.init(key)
+        out = enc.encode(params, x)  # x in [0,1]
+        assert out.shape == (17, enc.output_dim) == (17, 8)
+        assert jnp.isfinite(out).all()
+
+    with pytest.raises(NotImplementedError):
+        get_encoder("ash")
