@@ -161,4 +161,9 @@ def grid_defaults(args):
     log2 = args.log2_hashmap_size or (
         15 if backend in ("pallas", "halo") else 19)
     gridtype = "wrap" if backend == "halo" else "hash"
+    if backend == "halo" and log2 % 3 != 0:
+        raise SystemExit(
+            f"--grid_backend halo needs a cubic table (T = P^3, i.e. "
+            f"log2_hashmap_size divisible by 3; got {log2}). Use 15 or 18, "
+            f"or --grid_backend pallas (<= 2^16) / bucket (any size).")
     return backend, log2, gridtype

@@ -132,7 +132,8 @@ class SealTrainer(Trainer):
 
         h = h or self.dataset.h
         w = w or self.dataset.w
-        chunk = chunk or self.cfg.eval_chunk
+        # one dispatch per view when it fits; never pad beyond the view
+        chunk = chunk or min(self.cfg.eval_chunk, h * w)
         rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
         imgs, deps = [], []
         n = h * w

@@ -76,3 +76,65 @@ def test_adaptive_budget_fast_path():
     tr._retune_budget()
     tr._retune_budget()
     assert len(tr._step_cache) <= n_cached + 1
+
+
+def test_retune_bucket_selection_and_warm_start():
+    """_retune_budget picks the smallest bucket covering mean_count*1.15 and
+    the retune_warm flag lets warm starts (Seal finetune) retune during the
+    full-grid-update phase instead of waiting it out."""
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=2, h=16, w=16, seed=3)
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=12)
+    opts = RenderOptions(bound=1.0, budget_per_ray=32, num_candidates=128,
+                         max_steps=256, min_near=0.05)
+    tcfg = TrainConfig(lr=1e-2, max_steps=100, num_rays=256,
+                       update_grid_interval=8, full_grid_updates=4,
+                       random_bg=False, adaptive_budget=True)
+    tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
+    tr.init_state()
+    cap = tcfg.num_rays * opts.budget_per_ray
+
+    # bucket arithmetic: mean_count at 30% of cap -> 0.375 bucket (>= .3*1.15)
+    tr.state = tr.state._replace(occ=tr.state.occ._replace(
+        mean_count=jnp.asarray(0.30 * cap, jnp.float32)))
+    tr._retune_budget()
+    assert tr.opts.flat_frac == 0.375
+    # near-full occupancy -> bucket 1.0 -> dense path (None)
+    tr.state = tr.state._replace(occ=tr.state.occ._replace(
+        mean_count=jnp.asarray(0.95 * cap, jnp.float32)))
+    tr._retune_budget()
+    assert tr.opts.flat_frac is None
+    # unmeasured mean_count is a no-op
+    tr.state = tr.state._replace(occ=tr.state.occ._replace(
+        mean_count=jnp.asarray(-1.0, jnp.float32)))
+    tr.opts = __import__("dataclasses").replace(tr.opts, flat_frac=0.5)
+    tr._retune_budget()
+    assert tr.opts.flat_frac == 0.5
+
+    # warm start: with retune_warm the first boundary (still in the
+    # full-update phase) already selects a bucket from the measured count
+    tcfg_w = TrainConfig(lr=1e-2, max_steps=100, num_rays=256,
+                         update_grid_interval=8, full_grid_updates=1000,
+                         random_bg=False, adaptive_budget=True,
+                         retune_warm=True)
+    tr2 = Trainer(ngp, fcfg, opts, tcfg_w, dataset=ds,
+                  key=jax.random.PRNGKey(0))
+    tr2.init_state()
+    calls = []
+    orig = tr2._retune_budget
+    tr2._retune_budget = lambda: (calls.append(1), orig())[1]
+    tr2.train(steps=24, silent=True)  # 3 boundaries, all full updates
+    assert float(tr2.state.occ.mean_count) > 0
+    assert len(calls) >= 2  # retuned at measured boundaries despite full phase
+    # and without the flag, the same schedule must NOT have retuned
+    tcfg_c = TrainConfig(lr=1e-2, max_steps=100, num_rays=256,
+                         update_grid_interval=8, full_grid_updates=1000,
+                         random_bg=False, adaptive_budget=True)
+    tr3 = Trainer(ngp, fcfg, opts, tcfg_c, dataset=ds,
+                  key=jax.random.PRNGKey(0))
+    tr3.init_state()
+    calls3 = []
+    orig3 = tr3._retune_budget
+    tr3._retune_budget = lambda: (calls3.append(1), orig3())[1]
+    tr3.train(steps=24, silent=True)
+    assert not calls3  # untouched: still in full phase
