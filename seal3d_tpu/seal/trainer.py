@@ -277,14 +277,19 @@ class SealTrainer(Trainer):
     def _build_seal_steps(self):
         field, fcfg, opts = self.field, self.fcfg, self.opts
 
-        # Teacher renders (proxying + previews) run at the tuned eval point:
-        # same coarse tightening / occ_stride as training plus flat packing —
-        # the hacked bitfield keeps the edit region marchable either way.
+        # Teacher renders (proxying + previews) inherit the train options
+        # (coarse tightening, occ_stride) at the eval budget but NEVER flat
+        # packing: the hacked bitfield inflates sample demand, the packed
+        # buffer overflows, and overflow drops trailing rays ENTIRELY —
+        # measured 21-24 dB disagreement vs the dense path with ~1.0 max
+        # pixel error (scripts/probe_teacher_pack.py). Proxy renders are
+        # ground truth for the distill; per-ray stride subsampling (dense
+        # [N,K] path) degrades gracefully, global overflow does not.
         import dataclasses
 
         teacher_opts = dataclasses.replace(
             opts, budget_per_ray=self.cfg.eval_budget_per_ray,
-            flat_frac=self.cfg.eval_flat_frac)
+            flat_frac=None)
 
         def render_teacher(params, bitfield, rays_o, rays_d, bg_color):
             return render_rays(params, self.teacher_field, fcfg, bitfield,
@@ -375,6 +380,17 @@ class SealTrainer(Trainer):
         self.state = fn(self.state, key)
         self._apply_hack()
 
+    def restore_grid(self, key=None):
+        """Drop the bitfield force-fill after the edit is distilled
+        (reference restore_bitfield, SealNeRF/renderer.py:71-75): one full
+        occupancy refresh against the student's OWN density — which now
+        covers the edit region — with no hack re-applied. Without this,
+        post-edit evals/videos march the inflated hacked bitfield, and the
+        packed eval path can overflow its global sample budget (dropping
+        trailing rays entirely — see _build_seal_steps note)."""
+        key = key if key is not None else jax.random.PRNGKey(11)
+        self.state = self._update_grid_full(self.state, key)
+
     def _apply_hack(self):
         occ = self.state.occ
         aabb = occ.occ_aabb
@@ -428,8 +444,19 @@ class SealTrainer(Trainer):
             t0 = time.time()
             # occupancy refresh keeps the hack applied
             self.update_grid_hacked(jax.random.PRNGKey(7), full=True)
+            # Seed mean_count with a march-only probe and retune BEFORE the
+            # first train-step compile: the hacked bitfield inflates sample
+            # demand well above the default bucket, so without this the
+            # finetune pays TWO remote train-step compiles (initial dense +
+            # post-measurement bucket) — the march probe compiles in seconds
+            # and makes the first train compile the final operating point.
+            if self.cfg.adaptive_budget and self.opts.compaction == "topk":
+                self._seed_mean_count_probe()
+                self._retune_budget()
             self.train(steps=finetune_steps, silent=not log, blocked=True)
             self.time_inspector["training"].append(time.time() - t0)
+            # the edit is baked in — march the real density from here on
+            self.restore_grid()
 
         timer = {
             "pretraining": self.time_inspector["pretraining"],

@@ -397,6 +397,42 @@ class Trainer:
         """Hook after each occupancy refresh (Seal re-applies the bitfield
         hack here — reference SealNeRF/renderer.py:50-60)."""
 
+    def _seed_mean_count_probe(self, n_views: int = 4):
+        """Seed occ.mean_count with a march-only measurement (no field, no
+        train step): marches cfg.num_rays rays from a few dataset poses
+        against the CURRENT bitfield at the train operating point and counts
+        kept samples. Compiles in seconds (the march subgraph alone), so a
+        warm start can pick its flat_frac bucket BEFORE the first train-step
+        compile instead of paying an extra full compile at the default
+        bucket. The reference analog is mean_count carried in checkpoints
+        (nerf/utils.py:1026-1028)."""
+        from seal3d_tpu.ops.raymarch import march_rays_grid
+
+        opts = self.opts
+
+        def probe(bitfield, rays_o, rays_d, occ_aabb):
+            m = march_rays_grid(
+                rays_o, rays_d, bitfield, opts.bound, opts.cascades,
+                opts.dt_gamma, opts.max_steps, opts.budget_per_ray,
+                num_candidates=opts.num_candidates, min_near=opts.min_near,
+                aabb=self._march_aabb(occ_aabb), occ_stride=opts.occ_stride,
+                coarse_steps=opts.coarse_steps)
+            return m.valid.sum()
+
+        probe_j = jax.jit(probe)
+        key = jax.random.PRNGKey(123)
+        n = min(n_views, self._poses.shape[0])
+        total = 0.0
+        h, w = self.dataset.h, self.dataset.w
+        for i in range(n):
+            key, kray = jax.random.split(key)
+            rays = get_rays(kray, self._poses[i * len(self.dataset) // n],
+                            self._intrinsics, h, w, self.cfg.num_rays)
+            total += float(probe_j(self.state.occ.bitfield, rays["rays_o"],
+                                   rays["rays_d"], self.state.occ.occ_aabb))
+        self.state = self.state._replace(occ=self.state.occ._replace(
+            mean_count=jnp.asarray(total / n, jnp.float32)))
+
     def _retune_budget(self):
         """Pick the flat_frac bucket matching the measured valid-sample
         occupancy and swap in the (cached) jitted steps for it. The 1.15

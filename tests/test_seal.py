@@ -308,3 +308,64 @@ def test_curve_brush_follows_curved_surface():
     err_line = np.abs(np.linalg.norm(np.asarray(mapped_l)[caught], axis=-1) - 1.0)
     assert err_line.mean() > 3.0 * max(err_curve.mean(), 1e-4), (
         err_line.mean(), err_curve.mean())
+
+
+def test_teacher_opts_never_packed_and_restore_grid():
+    """(a) Teacher proxy renders must not use flat packing: with the hacked
+    bitfield the packed buffer overflows and drops trailing rays entirely
+    (measured 21-24 dB proxy corruption — scripts/probe_teacher_pack.py).
+    (b) restore_grid drops the force-fill afterwards (reference
+    restore_bitfield, SealNeRF/renderer.py:71-75)."""
+    from seal3d_tpu.data.synthetic import SyntheticScene
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.render.renderer import RenderOptions
+    from seal3d_tpu.seal.mappers import build_mapper
+    from seal3d_tpu.seal.trainer import SealTrainer
+    from seal3d_tpu.train.trainer import TrainConfig
+
+    ds = SyntheticScene().make_dataset(n_views=2, h=16, w=16, seed=0)
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=12)
+    # density_scale=0 so the occupancy refresh provably clears everything
+    # (a fresh random field otherwise has supra-threshold density all over)
+    opts = RenderOptions(bound=1.0, min_near=0.05, budget_per_ray=24,
+                         num_candidates=96, max_steps=96, flat_frac=0.5,
+                         density_scale=0.0)
+    tcfg = TrainConfig(lr=1e-2, num_rays=128, eval_chunk=256,
+                       eval_budget_per_ray=32, eval_flat_frac=0.375,
+                       random_bg=False)
+    config = {
+        "type": "bbox",
+        "raw": _cube_points(np.array([0.3, 0.1, 0.0], np.float32), 0.2,
+                            n=4).tolist(),
+        "transform": _translate(np.array([0, 0.3, 0], np.float32)).tolist(),
+        "scale": [1.0, 1.0, 1.0],
+    }
+    mapper = build_mapper(config)
+    bitfield = jnp.zeros(((2**21) // 8,), jnp.uint8)  # empty scene grid
+    st = SealTrainer(ngp, fcfg, opts, tcfg, mapper,
+                     teacher_params=ngp.init(jax.random.PRNGKey(0), fcfg),
+                     teacher_bitfield=bitfield,
+                     dataset=ds, key=jax.random.PRNGKey(1))
+    st.init_state()
+
+    # (a) the jitted teacher renderer was built from unpacked options even
+    # though train opts and eval_flat_frac both request packing
+    import inspect
+
+    closure = inspect.getclosurevars(st._render_teacher.__wrapped__).nonlocals
+    assert closure["teacher_opts"].flat_frac is None
+    # teacher bitfield carries the hack
+    assert int(jnp.unpackbits(st.teacher_bitfield).sum()) > 0
+
+    # (b) hack applied -> bits set; restore_grid refreshes from the (random,
+    # ~empty) student density without re-hacking -> forced bits drop
+    st._apply_hack()
+    hacked_bits = int(jnp.unpackbits(st.state.occ.bitfield).sum())
+    assert hacked_bits > 0
+    st.restore_grid()
+    restored_bits = int(jnp.unpackbits(st.state.occ.bitfield).sum())
+    assert restored_bits == 0  # force-fill gone, density_scale=0 -> empty
+    # whereas the hacked refresh would have kept the force-fill
+    st.update_grid_hacked(jax.random.PRNGKey(3), full=True)
+    assert int(jnp.unpackbits(st.state.occ.bitfield).sum()) == hacked_bits
