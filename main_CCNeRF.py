@@ -33,7 +33,7 @@ def main():
                         rank_vec=tuple(args.rank_vec),
                         rank_mat=tuple(args.rank_mat))
     opts = build_options(args)
-    tcfg = build_train_config(args)
+    tcfg = build_train_config(args, family="tensorf")
     ds = load_dataset(args, "trainval" if not args.test else "test")
     tr = CCNeRFTrainer(fcfg, opts, tcfg, dataset=ds,
                        key=jax.random.PRNGKey(args.seed))

@@ -43,14 +43,14 @@ def add_seal_args(parser):
     return parser
 
 
-def run_seal(args, field_mod, fcfg, make_trainer, name):
+def run_seal(args, field_mod, fcfg, make_trainer, name, family: str = "ngp"):
     seed_everything(args.seed)
     opts = build_options(args)
-    tcfg = build_train_config(args)
+    tcfg = build_train_config(args, family=family)
     ds = load_dataset(args, "trainval")
 
     # ---- teacher
-    teacher_tcfg = build_train_config(args)
+    teacher_tcfg = build_train_config(args, family=family)
     teacher_tcfg.workspace = args.teacher_workspace
     teacher = make_trainer(teacher_tcfg, ds, name=f"{name}_teacher")
     teacher.init_state()

@@ -25,7 +25,7 @@ def main():
                               upsample_steps=(), shrink_step=None,
                               use_dense=args.dense_render)
 
-    run_seal(args, tensorf, fcfg, make_trainer, "sealtensorf")
+    run_seal(args, tensorf, fcfg, make_trainer, "sealtensorf", family="tensorf")
 
 
 if __name__ == "__main__":

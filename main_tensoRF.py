@@ -26,7 +26,7 @@ def main():
         bound=args.bound, decomposition="cp" if args.cp else "vm",
         resolution=(args.resolution0,) * 3, bg_radius=args.bg_radius)
     opts = build_options(args)
-    tcfg = build_train_config(args)
+    tcfg = build_train_config(args, family="tensorf")
     ds = load_dataset(args, "trainval" if not args.test else "test")
 
     tr = TensoRFTrainer(fcfg, opts, tcfg, dataset=ds,

@@ -108,7 +108,7 @@ def build_options(args) -> RenderOptions:
         coarse_steps=coarse, occ_stride=getattr(args, "occ_stride", 4))
 
 
-def build_train_config(args) -> TrainConfig:
+def build_train_config(args, family: str = "ngp") -> TrainConfig:
     adaptive = getattr(args, "adaptive_budget", None)
     if adaptive is None:
         adaptive = bool(getattr(args, "O", False))
@@ -120,6 +120,12 @@ def build_train_config(args) -> TrainConfig:
         # 1.8x faster. Tighter (0.25) collapses quality; see PERFORMANCE.md.
         eval_kw = dict(eval_chunk=2**15, eval_budget_per_ray=48,
                        eval_flat_frac=0.375)
+        if family == "tensorf":
+            # TensoRF-family fields materialize [M, rank] plane/line feature
+            # stacks per sample — 2^15-ray eval chunks OOM HBM (seen on
+            # CCNeRF eval: 8.4M-sample temps). 4096-ray chunks keep
+            # M*rank ~ 10^8 bounded with the same operating point.
+            eval_kw["eval_chunk"] = 4096
     return TrainConfig(
         lr=args.lr, max_steps=args.iters, num_rays=args.num_rays,
         density_thresh=args.density_thresh,

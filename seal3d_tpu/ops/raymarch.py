@@ -373,6 +373,61 @@ def compact_flat_direct(ts, dts, valid, rays_o, rays_d, k: int,
         offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0))
 
 
+def compact_flat_gather(ts, dts, valid, rays_o, rays_d, k: int,
+                        budget: int) -> MarchedRays:
+    """compact_flat_direct without the global sort.
+
+    The packed layout is a STABLE PARTITION of the [N*C] candidates (kept
+    first, (ray, t) order preserved) — a full 1M-key `lax.sort` (4.0 ms at
+    the recipe point, the largest march piece) computes strictly more than
+    needed. Instead, invert the packing directly: per-ray kept ranks are a
+    cumsum, per-ray segment starts a cumsum of counts, and each output slot
+    m finds its (ray, within-ray rank) via searchsorted + its candidate
+    column via ONE row-gather of the rank matrix and a lane compare/argmax.
+    Cost is ~budget*C compare-lanes + one [budget, C] row gather — both an
+    order of magnitude below the sort at budget << N*C. Semantics are
+    bit-identical to compact_flat_direct (same stride subsample, same
+    packing; parity-tested)."""
+    n, c = ts.shape
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    count = rank[:, -1:]
+    stride = jnp.maximum(jnp.ceil(count / k).astype(jnp.int32), 1)
+    keep = valid & (((rank - 1) % stride) == 0)
+    dts = dts * stride.astype(dts.dtype)
+    krank = jnp.cumsum(keep.astype(jnp.int32), axis=1)      # [N, C]
+    counts = krank[:, -1]
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    m = jnp.arange(budget, dtype=jnp.int32)
+    ray_id = (jnp.searchsorted(starts, m, side="right") - 1).astype(jnp.int32)
+    ray_id = jnp.clip(ray_id, 0, n - 1)
+    r = m - jnp.take(starts, ray_id)                        # within-ray rank
+    valid_f = r < jnp.take(counts, ray_id)
+    # ONE uint8 row gather: within a row, rank == r+1 FIRST occurs exactly at
+    # the kept candidate (rank increments there), so argmax-first needs no
+    # keep mask. (krank-1) fits uint8 collision-free: the 0-1 wrap to 255
+    # can only be queried when r == 255, i.e. count == 256 == C, i.e. ALL
+    # kept — and then no krank == 0 positions exist. (C <= 256 contract,
+    # asserted below.)
+    assert c <= 256, "compact_flat_gather packs ranks into uint8 (C <= 256)"
+    rank8 = (krank - 1).astype(jnp.uint8)                   # [N, C]
+    rankrow = jnp.take(rank8, ray_id, axis=0)               # [B, C] row gather
+    col = jnp.argmax(rankrow == r.astype(jnp.uint8)[:, None],
+                     axis=1).astype(jnp.int32)
+    sel = ray_id * c + col
+    ts_f = jnp.take(ts.reshape(-1), sel)
+    dts_f = jnp.take(dts.reshape(-1), sel)
+    ro = jnp.take(rays_o, ray_id, axis=0)
+    rd = jnp.take(rays_d, ray_id, axis=0)
+    xyzs = ro + ts_f[:, None] * rd
+    kept = (jnp.minimum(starts + counts, budget)
+            - jnp.minimum(starts, budget))
+    return MarchedRays(
+        xyzs=xyzs, dirs=rd, deltas=dts_f, ts=ts_f,
+        ray_id=ray_id, valid=valid_f,
+        offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0))
+
+
 def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     bitfield: jnp.ndarray, bound: float, cascades: int,
                     dt_gamma: float, max_steps: int, k: int, budget: int,
@@ -382,11 +437,15 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     aabb: jnp.ndarray | None = None,
                     occ_stride: int = 2,
                     coarse_steps: int = 0,
-                    span_adaptive: bool = False) -> MarchedRays:
+                    span_adaptive: bool = False,
+                    select: str = "sort") -> MarchedRays:
     """Occupancy march straight to the flat packed layout (train fast path).
 
     Same candidate ladder / occupancy semantics as march_rays_grid, but the
-    [N, K] intermediate and its top_k never exist (see compact_flat_direct).
+    [N, K] intermediate and its top_k never exist (see compact_flat_direct /
+    compact_flat_gather — `select` picks 'sort' or 'gather'; both produce
+    the identical packing, gather replaces the global sort with rank
+    inversion and measures faster at budget << N*C).
     """
     if aabb is None:
         aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
@@ -408,7 +467,8 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     else:
         occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
     valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
-    out = compact_flat_direct(ts, dts, valid, rays_o, rays_d, k, budget)
+    compact = compact_flat_gather if select == "gather" else compact_flat_direct
+    out = compact(ts, dts, valid, rays_o, rays_d, k, budget)
     return jax.tree.map(jax.lax.stop_gradient, out)
 
 

@@ -62,6 +62,15 @@ class RenderOptions:
     # before building the candidate ladder (ops/raymarch.coarse_tighten);
     # 0 disables. Single-cascade scenes only.
     coarse_steps: int = 0
+    # Packed-selection backend on the flat path: 'sort' (default) is the
+    # single-array lax.sort; 'gather' inverts the packing with cumsum ranks +
+    # searchsorted + one [budget, C] uint8 row gather. Identical packing
+    # (parity-tested). MEASURED NEGATIVE on v5e: gather 16.2 ms vs sort
+    # 9.0 ms march (42.97 vs 35.89 ms step) even with the single-uint8-row
+    # variant — the sort is already near lax.sort roofline and the rank-
+    # inversion's gather/argmax chain doesn't beat it. Kept as an option
+    # for architectures with faster gathers.
+    flat_select: str = "sort"
     # Per-ray candidate spacing max(dt_min, span/num_candidates) instead of
     # the global dt_min (dt_gamma == 0 only): the ladder always covers the
     # tightened interval, so num_candidates can halve (see candidate_ts).
@@ -144,7 +153,8 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
                     budget=budget, num_candidates=opts.num_candidates,
                     perturb=jitter, min_near=opts.min_near, aabb=aabb,
                     occ_stride=s, coarse_steps=opts.coarse_steps,
-                    span_adaptive=opts.span_adaptive)
+                    span_adaptive=opts.span_adaptive,
+                    select=opts.flat_select)
             try:
                 # backbones that take the packed-valid mask (NGP) let the
                 # halo kernel skip table chunks only tail slots touch

@@ -383,3 +383,43 @@ def test_grouped_flat_march_render_parity():
                          bg_color=1.0)
     err = np.abs(np.asarray(out_t1["image"]) - np.asarray(out_t0["image"])).mean()
     assert err < 0.05, err
+
+
+def test_flat_gather_matches_sort_selection():
+    """compact_flat_gather must produce the IDENTICAL packing to
+    compact_flat_direct (same kept candidates, order, deltas, ray ids,
+    offsets/counts; dump-slot payloads may differ but valid masks match),
+    including over-budget rays (stride subsample) and global overflow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seal3d_tpu.ops.raymarch import (compact_flat_direct,
+                                         compact_flat_gather)
+
+    rng = np.random.default_rng(7)
+    n, c, k = 64, 96, 16
+    ts = np.sort(rng.uniform(0.1, 2.0, (n, c)).astype(np.float32), axis=1)
+    dts = np.full((n, c), 0.01, np.float32)
+    # mixed validity: some rays dense (over budget k), some sparse, some empty
+    valid = rng.random((n, c)) < rng.uniform(0.0, 0.9, (n, 1))
+    rays_o = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rays_d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    for budget in (128, 384, 1024):  # overflow, mid, roomy
+        a = compact_flat_direct(jnp.asarray(ts), jnp.asarray(dts),
+                                jnp.asarray(valid), jnp.asarray(rays_o),
+                                jnp.asarray(rays_d), k, budget)
+        b = compact_flat_gather(jnp.asarray(ts), jnp.asarray(dts),
+                                jnp.asarray(valid), jnp.asarray(rays_o),
+                                jnp.asarray(rays_d), k, budget)
+        np.testing.assert_array_equal(np.asarray(a.valid), np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
+        np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+        va = np.asarray(a.valid)
+        for fa, fb in ((a.ts, b.ts), (a.deltas, b.deltas),
+                       (a.ray_id, b.ray_id)):
+            np.testing.assert_array_equal(np.asarray(fa)[va], np.asarray(fb)[va])
+        np.testing.assert_allclose(np.asarray(a.xyzs)[va],
+                                   np.asarray(b.xyzs)[va], rtol=1e-6)
