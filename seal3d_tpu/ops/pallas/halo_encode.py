@@ -51,24 +51,28 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def halo_expand(master: jnp.ndarray, cfg) -> jnp.ndarray:
-    """[L*T, F] spatial master -> [L, B, F*128] halo-stored stack (f32).
-
-    Stored row b=(bx,by,bz) holds entries S[4b+q] for q in [0,5)^3 at lane
-    qx*25+qy*5+qz (S wrap-padded by one: the +1 faces come from the
-    wrap-neighbor block). Differentiable — the autodiff transpose is the
-    exact copy-fold back onto master entries."""
+def _expand_geometry(master, cfg):
     levels = cfg.num_levels
     t = 2**cfg.log2_hashmap_size
     period = round(t ** (1 / 3))
     assert period**3 == t, "halo backend needs T = P^3"
     assert period % 4 == 0 and period >= 8
-    nb = period // 4
-    f_dim = master.shape[-1]
+    return levels, period, period // 4, master.shape[-1]
+
+
+def _wrap_pad(master, levels, period, f_dim):
     s = master.reshape(levels, period, period, period, f_dim)
     p = jnp.concatenate([s, s[:, :1]], axis=1)
     p = jnp.concatenate([p, p[:, :, :1]], axis=2)
-    p = jnp.concatenate([p, p[:, :, :, :1]], axis=3)  # [L, P+1, P+1, P+1, F]
+    return jnp.concatenate([p, p[:, :, :, :1]], axis=3)  # [L,P+1,P+1,P+1,F]
+
+
+def _expand_joint(master: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Joint 125-window expansion — the fastest FORWARD form (XLA fuses the
+    strided windows into the consumer at ~zero overhead), but its autodiff
+    transpose is 125 zero-pad scatter-adds (5.6 ms/step measured)."""
+    levels, period, nb, f_dim = _expand_geometry(master, cfg)
+    p = _wrap_pad(master, levels, period, f_dim)
     hi = 4 * (nb - 1)
     parts = [
         p[:, qx:qx + hi + 1:4, qy:qy + hi + 1:4, qz:qz + hi + 1:4]
@@ -78,6 +82,55 @@ def halo_expand(master: jnp.ndarray, cfg) -> jnp.ndarray:
     st = st.reshape(levels, nb**3, 125, f_dim).transpose(0, 1, 3, 2)
     st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, LANES - 125)))
     return st.reshape(levels, nb**3, f_dim * LANES)
+
+
+def _expand_separable(master: jnp.ndarray, cfg) -> jnp.ndarray:
+    """Axis-separable 5-tap form of the SAME linear map (bit-identical
+    output): three stacked stride-4 windowings whose transpose is 3x5
+    strided slice-adds (~1.5 ms) instead of the joint form's 125
+    scatter-adds. Used only to derive the backward (see halo_expand);
+    as a forward it fuses worse (+1.6 ms, probe_halo_expand.py)."""
+    levels, period, nb, f_dim = _expand_geometry(master, cfg)
+    p = _wrap_pad(master, levels, period, f_dim)
+    hi = 4 * (nb - 1)
+    px = jnp.stack([p[:, q:q + hi + 1:4] for q in range(5)], axis=2)
+    # [L, nb, 5, P+1, P+1, F]
+    pxy = jnp.stack([px[:, :, :, q:q + hi + 1:4] for q in range(5)], axis=4)
+    # [L, nb, 5, nb, 5, P+1, F]
+    pxyz = jnp.stack([pxy[..., q:q + hi + 1:4, :] for q in range(5)], axis=6)
+    # [L, nb, 5, nb, 5, nb, 5, F]: dims (L, bx, qx, by, qy, bz, qz, F)
+    st = pxyz.transpose(0, 1, 3, 5, 7, 2, 4, 6)  # [L, bx,by,bz, F, qx,qy,qz]
+    st = st.reshape(levels, nb**3, f_dim, 125)   # lane = qx*25 + qy*5 + qz
+    st = jnp.pad(st, ((0, 0), (0, 0), (0, 0), (0, LANES - 125)))
+    return st.reshape(levels, nb**3, f_dim * LANES)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def halo_expand(master: jnp.ndarray, cfg) -> jnp.ndarray:
+    """[L*T, F] spatial master -> [L, B, F*128] halo-stored stack (f32).
+
+    Stored row b=(bx,by,bz) holds entries S[4b+q] for q in [0,5)^3 at lane
+    qx*25+qy*5+qz (S wrap-padded by one: the +1 faces come from the
+    wrap-neighbor block). Differentiable: forward is the joint windowing
+    (fuses best), backward is the linear_transpose of the separable form —
+    the exact same linear map, 3x5 slice-adds instead of 125 scatter-adds
+    (train step -3.4 ms; scripts/probe_halo_expand.py)."""
+    return _expand_joint(master, cfg)
+
+
+def _expand_fwd(master, cfg):
+    return _expand_joint(master, cfg), (master.shape, master.dtype)
+
+
+def _expand_bwd(cfg, res, ct):
+    shape, dtype = res
+    transpose = jax.linear_transpose(
+        lambda m: _expand_separable(m, cfg),
+        jax.ShapeDtypeStruct(shape, dtype))
+    return (transpose(ct)[0],)
+
+
+halo_expand.defvjp(_expand_fwd, _expand_bwd)
 
 
 def _level_consts(cfg):
