@@ -119,14 +119,19 @@ def halo_expand(master: jnp.ndarray, cfg) -> jnp.ndarray:
 
 
 def _expand_fwd(master, cfg):
-    return _expand_joint(master, cfg), (master.shape, master.dtype)
+    # Residuals must be JAX types (no shapes/dtypes); the master's geometry
+    # is fully determined by cfg + the cotangent, so store nothing.
+    return _expand_joint(master, cfg), ()
 
 
 def _expand_bwd(cfg, res, ct):
-    shape, dtype = res
+    del res
+    levels = cfg.num_levels
+    t = 2**cfg.log2_hashmap_size
+    f_dim = ct.shape[-1] // LANES
     transpose = jax.linear_transpose(
         lambda m: _expand_separable(m, cfg),
-        jax.ShapeDtypeStruct(shape, dtype))
+        jax.ShapeDtypeStruct((levels * t, f_dim), ct.dtype))
     return (transpose(ct)[0],)
 
 
