@@ -1,0 +1,76 @@
+"""Time ONLY the full jitted train step at several ray-batch sizes.
+
+Question: is the recipe step (4096 rays) dominated by per-sample work
+(throughput flat in batch) or by fixed overheads (throughput grows with
+batch)? Decides whether a large-batch operating point is worth exposing.
+
+Usage: python scripts/probe_batch_scale.py [--sizes 4096,8192,16384]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(out):
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=str, default="2048,4096,8192,16384")
+    ap.add_argument("--budget", type=int, default=48)
+    ap.add_argument("--candidates", type=int, default=256)
+    ap.add_argument("--log2t", type=int, default=15)
+    ap.add_argument("--backend", type=str, default="halo")
+    ap.add_argument("--flat", type=float, default=0.375)
+    ap.add_argument("--coarse", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    from seal3d_tpu.data.synthetic import SyntheticScene
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.render.renderer import RenderOptions
+    from seal3d_tpu.train.trainer import TrainConfig, Trainer
+
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=12, h=256, w=256, seed=0)
+    for n in [int(s) for s in args.sizes.split(",")]:
+        fcfg = NGPConfig(bound=1.0, log2_hashmap_size=args.log2t,
+                         grid_backend=args.backend,
+                         gridtype="wrap" if args.backend == "halo" else "hash")
+        opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                             budget_per_ray=args.budget,
+                             num_candidates=args.candidates,
+                             min_near=0.05, flat_frac=args.flat,
+                             coarse_steps=args.coarse)
+        tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=n,
+                           random_bg=False)
+        tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
+                     key=jax.random.PRNGKey(0))
+        tr.init_state()
+        tr.train(steps=48, silent=True, blocked=True)  # warm + sparse grid
+        state = jax.tree.map(jnp.copy, tr.state)
+        step = tr._train_step
+        for _ in range(3):
+            state, _ = step(state, jax.random.PRNGKey(3))
+        _sync(state)
+        t0 = time.time()
+        for _ in range(args.iters):
+            state, _ = step(state, jax.random.PRNGKey(3))
+        _sync(state)
+        ms = (time.time() - t0) / args.iters * 1000.0
+        print(f"rays={n:6d}  step={ms:7.2f} ms  {n / ms * 1000.0:9.0f} rays/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
