@@ -49,9 +49,11 @@ def _cached_dataset(scene, cache_name, n_views=12, h=256, w=256):
 
 
 def hard_capacity_ablation(steps=500):
-    """Train the hard scene twice — pallas@2^14 (the -O fast path) and
-    xla@2^19 (reference-capacity tables) — same recipe otherwise; report
-    PSNR at equal step counts and the wall-clocks (VERDICT r1 items 4/5)."""
+    """Train the hard scene with three arms — halo@2^15 (the -O fast path),
+    halo@2^18 (the next cubic-wrap capacity rung), and bucket@2^19
+    (reference-capacity tables) — same recipe otherwise; report PSNR at
+    equal step counts and the wall-clocks (VERDICT r1 items 4/5; the 2^18
+    arm and this docstring are VERDICT r2 item 6)."""
     from seal3d_tpu.data.synthetic import HardSyntheticScene
     from seal3d_tpu.models import ngp
     from seal3d_tpu.models.ngp import NGPConfig
@@ -68,6 +70,7 @@ def hard_capacity_ablation(steps=500):
     # @2^19 — 10x faster than the xla scatter it replaced).
     for tag, backend, gridtype, log2t, rays in (
             ("halo15", "halo", "wrap", 15, 4096),
+            ("halo18", "halo", "wrap", 18, 4096),
             ("bucket19", "bucket", "hash", 19, 2048)):
         fcfg = NGPConfig(bound=1.0, log2_hashmap_size=log2t,
                          grid_backend=backend, gridtype=gridtype)

@@ -39,6 +39,17 @@ def main():
                        key=jax.random.PRNGKey(args.seed))
     tr.init_state()
 
+    if args.ckpt and args.ckpt != "scratch":
+        from seal3d_tpu.train import checkpoint as ckpt_io
+
+        path = args.ckpt
+        if path == "latest":
+            path = ckpt_io.latest_checkpoint(
+                os.path.join(tcfg.workspace, "checkpoints"), "ccnerf")
+        if path and os.path.exists(path):
+            tr.load_checkpoint(path)
+            print(f"[ckpt] loaded {path}")
+
     if not args.test:
         tr.train(steps=args.iters)
         tr.save_checkpoint()

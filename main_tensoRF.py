@@ -38,6 +38,17 @@ def main():
                         use_dense=args.dense_render)
     tr.init_state()
 
+    if args.ckpt and args.ckpt != "scratch":
+        from seal3d_tpu.train import checkpoint as ckpt_io
+
+        path = args.ckpt
+        if path == "latest":
+            path = ckpt_io.latest_checkpoint(
+                os.path.join(tcfg.workspace, "checkpoints"), "tensorf")
+        if path and os.path.exists(path):
+            tr.load_checkpoint(path)
+            print(f"[ckpt] loaded {path}")
+
     if not args.test:
         tr.train(steps=args.iters, blocked=not args.dense_render)
         tr.save_checkpoint()

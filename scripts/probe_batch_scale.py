@@ -30,9 +30,17 @@ def main():
     ap.add_argument("--candidates", type=int, default=256)
     ap.add_argument("--log2t", type=int, default=15)
     ap.add_argument("--backend", type=str, default="halo")
-    ap.add_argument("--flat", type=float, default=0.375)
+    ap.add_argument("--flat", type=float, default=None,
+                    help="fixed flat_frac; default (None) lets the adaptive "
+                         "budget pick the per-size operating point like the "
+                         "production trainer does (ADVICE r2)")
     ap.add_argument("--coarse", type=int, default=64)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=288,
+                    help="settle steps before timing (the first ~250 steps "
+                         "are the dense-grid early phase; bench.py's "
+                         "sustained point is ~576 steps in — short warmups "
+                         "under-report large batches, ADVICE r2)")
     args = ap.parse_args()
 
     from seal3d_tpu.data.synthetic import SyntheticScene
@@ -53,23 +61,31 @@ def main():
                              min_near=0.05, flat_frac=args.flat,
                              coarse_steps=args.coarse)
         tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=n,
-                           random_bg=False)
+                           random_bg=False,
+                           adaptive_budget=args.flat is None)
         tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
                      key=jax.random.PRNGKey(0))
         tr.init_state()
-        tr.train(steps=48, silent=True, blocked=True)  # warm + sparse grid
+        # settle: past the dense early phase so occupancy (and with it the
+        # adaptive flat bucket) is representative of the sustained rate
+        tr.train(steps=args.warmup, silent=True, blocked=True)
         state = jax.tree.map(jnp.copy, tr.state)
         step = tr._train_step
-        for _ in range(3):
-            state, _ = step(state, jax.random.PRNGKey(3))
+        # fresh ray batch every timed step: repeating one key would train
+        # repeatedly on the same rays and drift their sample counts (ADVICE)
+        keys = jax.random.split(jax.random.PRNGKey(3), args.iters + 3)
+        for i in range(3):
+            state, _ = step(state, keys[args.iters + i])
         _sync(state)
         t0 = time.time()
-        for _ in range(args.iters):
-            state, _ = step(state, jax.random.PRNGKey(3))
+        for i in range(args.iters):
+            state, _ = step(state, keys[i])
         _sync(state)
         ms = (time.time() - t0) / args.iters * 1000.0
-        print(f"rays={n:6d}  step={ms:7.2f} ms  {n / ms * 1000.0:9.0f} rays/s",
-              flush=True)
+        flat_used = (args.flat if args.flat is not None
+                     else tr.opts.flat_frac)
+        print(f"rays={n:6d}  step={ms:7.2f} ms  {n / ms * 1000.0:9.0f} rays/s"
+              f"  flat={flat_used}", flush=True)
 
 
 if __name__ == "__main__":

@@ -195,6 +195,46 @@ class HardSyntheticScene(SyntheticScene):
 
 
 @dataclass(frozen=True)
+class WideSyntheticScene(SyntheticScene):
+    """Unbounded-style scene for multi-cascade (bound=2) benchmarks: a
+    center object plus satellites OUTSIDE [-1, 1]^3, so cascade 1 carries
+    real content — the shape of the reference's fox recipe (`--bound 2
+    --scale 0.33`, readme.md:84; cascade mips raymarching.cu:42-54).
+    Cameras must orbit wider (make_dataset radius default raised)."""
+
+    bound: float = 2.0
+
+    def density(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = 60.0
+
+        def ball(c, r):
+            d = jnp.linalg.norm(x - jnp.asarray(c), axis=-1) - r
+            return jax.nn.sigmoid(-k * d)
+
+        def box(c, half):
+            q = jnp.abs(x - jnp.asarray(c)) - jnp.asarray(half)
+            d = (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+                 + jnp.minimum(q.max(-1), 0.0))
+            return jax.nn.sigmoid(-k * d)
+
+        occ = (
+            ball([0.0, 0.05, 0.0], 0.3)                      # cascade-0 core
+            + box([0.0, -0.5, 0.0], [0.6, 0.08, 0.6])        # base, cascade 0
+            + ball([1.45, 0.1, 0.2], 0.28)                   # cascade-1 satellite
+            + ball([-1.3, -0.15, -0.9], 0.25)                # cascade-1 satellite
+            + box([0.2, 0.1, 1.5], [0.3, 0.25, 0.12])        # cascade-1 slab
+        )
+        return self.density_scale * jnp.clip(occ, 0.0, 1.0)
+
+    def make_dataset(self, n_views: int = 24, h: int = 128, w: int = 128,
+                     radius: float = 4.0, seed: int = 0,
+                     fov_deg: float = 58.0) -> NeRFDataset:
+        return SyntheticScene.make_dataset(self, n_views=n_views, h=h, w=w,
+                                           radius=radius, seed=seed,
+                                           fov_deg=fov_deg)
+
+
+@dataclass(frozen=True)
 class DynamicSyntheticScene(SyntheticScene):
     """Time-varying variant: one blob swings on an arc over t in [0,1]
     (ground truth for D-NeRF tests/benchmarks).

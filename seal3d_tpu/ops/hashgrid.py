@@ -84,7 +84,9 @@ class HashGridConfig:
     # gathers/scatters only its own levels; the per-step collectives are one
     # all-gather of the [M, L*F] features and the table-grad psum over
     # 'data' — the table itself is never gathered. No-op without a mesh.
-    # 'xla' backend only.
+    # Supported by the 'xla' backend (GSPMD-sharded batched gather) and the
+    # 'halo' backend (shard_map over the level axis; each chip expands +
+    # encodes only its own levels — ops/pallas/halo_encode.halo_encode_sharded).
     shard_levels: bool = False
 
     @cached_property
@@ -325,12 +327,19 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig,
         # stack is rebuilt from the spatial master each call (static slices;
         # autodiff folds duplicate-copy gradients back onto master entries).
         from seal3d_tpu.ops.pallas.halo_encode import (halo_encode_fused,
+                                                       halo_encode_sharded,
                                                        halo_expand)
 
         assert cfg.gridtype == "wrap", "halo backend requires gridtype='wrap'"
-        stored = halo_expand(table, cfg)
         vf = None if valid is None else valid.reshape(-1)
-        out = halo_encode_fused(stored, xf, vf, cfg)
+        amesh = jax.sharding.get_abstract_mesh()
+        if cfg.shard_levels and amesh is not None and \
+                "model" in getattr(amesh, "axis_names", ()):
+            # level-sharded tensor parallelism over the ambient 2-D mesh
+            out = halo_encode_sharded(table, xf, vf, cfg)
+        else:
+            stored = halo_expand(table, cfg)
+            out = halo_encode_fused(stored, xf, vf, cfg)
         return out.reshape(*batch_shape, cfg.num_levels * f_dim)
 
     if cfg.backend == "bucket":

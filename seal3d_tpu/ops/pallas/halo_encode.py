@@ -52,8 +52,10 @@ def _interpret() -> bool:
 
 
 def _expand_geometry(master, cfg):
-    levels = cfg.num_levels
     t = 2**cfg.log2_hashmap_size
+    # levels from the master's SHAPE, not cfg: under level-sharded tensor
+    # parallelism each shard expands only its own L/n_model levels.
+    levels = master.shape[0] // t
     period = round(t ** (1 / 3))
     assert period**3 == t, "halo backend needs T = P^3"
     assert period % 4 == 0 and period >= 8
@@ -126,7 +128,7 @@ def _expand_fwd(master, cfg):
 
 def _expand_bwd(cfg, res, ct):
     del res
-    levels = cfg.num_levels
+    levels = ct.shape[0]  # may be a level SHARD, not cfg.num_levels
     t = 2**cfg.log2_hashmap_size
     f_dim = ct.shape[-1] // LANES
     transpose = jax.linear_transpose(
@@ -387,3 +389,121 @@ def _bwd(cfg, tile, res, g):
 
 
 halo_encode_fused.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------- level-sharded TP wrapper
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _halo_encode_arrs(stored, x, valid, scales, resolutions, cfg, tile=1024):
+    """halo_encode_fused with the per-level scale/resolution tables as
+    TRACED array arguments instead of cfg-derived constants — what lets a
+    shard_map give each model-parallel shard its own level subset while
+    every shard runs the identical program."""
+    return _fwd_impl_arrs(stored, x, valid, scales, resolutions, cfg, tile)
+
+
+def _fwd_impl_arrs(stored, x, valid, scales, resolutions, cfg, tile):
+    levels, n_rows, fw = stored.shape
+    f_dim = fw // LANES
+    t = 2**cfg.log2_hashmap_size
+    period = round(t ** (1 / 3))
+    m = x.shape[0]
+    x4, n_tiles, ps, _ = _prep_x(x, valid, tile)
+    kernel = _make_fwd_kernel(levels, f_dim, n_rows, period,
+                              cfg.interpolation == "smoothstep")
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_smem_specs(2) + [
+            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, levels * f_dim, ps, LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, levels * f_dim, ps, LANES),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(scales, resolutions, x4, stored.astype(jnp.bfloat16))
+    out = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, levels * f_dim)
+    return out[:m]
+
+
+def _fwd_arrs(stored, x, valid, scales, resolutions, cfg, tile):
+    out = _fwd_impl_arrs(stored, x, valid, scales, resolutions, cfg, tile)
+    return out, (stored.shape, x, valid, scales, resolutions)
+
+
+def _bwd_arrs(cfg, tile, res, g):
+    (levels, n_rows, fw), x, valid, scales, resolutions = res
+    f_dim = fw // LANES
+    t = 2**cfg.log2_hashmap_size
+    period = round(t ** (1 / 3))
+    x4, n_tiles, ps, pad = _prep_x(x, valid, tile)
+    g_p = jnp.pad(g, ((0, pad), (0, 0)))
+    g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
+    kernel = _make_bwd_kernel(levels, f_dim, n_rows, period,
+                              cfg.interpolation == "smoothstep")
+    gtab = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=_smem_specs(2) + [
+            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, levels * f_dim, ps, LANES),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((levels, n_rows, fw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(scales, resolutions, x4, g4)
+    return gtab, None, None, None, None
+
+
+_halo_encode_arrs.defvjp(_fwd_arrs, _bwd_arrs)
+
+
+def halo_encode_sharded(master: jnp.ndarray, x: jnp.ndarray, valid, cfg,
+                        tile: int = 1024) -> jnp.ndarray:
+    """Level-sharded tensor-parallel halo encode over the ambient 2-D mesh.
+
+    The [L*T, F] spatial master reshapes to [L, T, F] and shards its LEVEL
+    axis over the mesh's 'model' axis; samples shard over 'data'. Each chip
+    expands + encodes only its own levels (halo_expand and both kernels are
+    level-local), producing [M_local, L_local*F] — concatenated over 'model'
+    that is exactly the level-major [M, L*F] output. The per-step
+    collectives this layout induces are ONE feature all-gather over 'model'
+    (a few hundred KB) and the master-grad psum over 'data'; the table
+    itself is never gathered (tests/test_parallel.py pins the HLO).
+    TPU-native replacement for the reference's replicated gridencoder
+    under DDP (SURVEY.md §2.3), on the -O halo operating point.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    from jax.sharding import PartitionSpec as P
+
+    t = 2**cfg.log2_hashmap_size
+    f_dim = master.shape[-1]
+    levels = master.shape[0] // t
+    scales, resolutions = _level_consts(cfg)
+    vf = (jnp.ones((x.shape[0],), jnp.bool_) if valid is None else valid)
+
+    def local(m3, sc, rs, xl, vl):
+        stored = halo_expand(m3.reshape(-1, f_dim), cfg)
+        return _halo_encode_arrs(stored, xl, vl, sc, rs, cfg, tile)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model"), P("data"), P("data")),
+        out_specs=P("data", "model"),
+        # pallas_call's out_shape carries no varying-mesh-axes info; the
+        # specs above are the full contract
+        check_vma=False,
+    )(master.reshape(levels, t, f_dim), jnp.asarray(scales),
+      jnp.asarray(resolutions), x, vf)

@@ -252,8 +252,9 @@ def compact_topk(ts, dts, valid, rays_o, rays_d, k: int) -> MarchedGrid:
 
 
 def coarse_tighten(rays_o, rays_d, bitfield, nears, fars, cascades: int,
-                   bound: float, n_steps: int = 64):
-    """Per-ray [near, far] tightening from a 16^3 coarse occupancy view.
+                   bound: float, n_steps: int = 64,
+                   dt_gamma: float = 0.0, max_steps: int = 1024):
+    """Per-ray [near, far] tightening from 16^3 coarse occupancy views.
 
     Morton order is hierarchical: 64 consecutive bitfield bytes = one 8^3
     block of fine cells = one coarse cell, so the coarse grid is a single
@@ -266,18 +267,34 @@ def coarse_tighten(rays_o, rays_d, bitfield, nears, fars, cascades: int,
     space skipping of the reference's per-ray DDA while staying one dense
     [N, n_steps] gather (raymarching.cu:390-399 analog).
 
-    Only the single-cascade case is tightened (multi-cascade rays would need
-    per-mip coarse views); other cases return (nears, fars) unchanged.
+    Multi-cascade scenes (bound > 1) get one coarse view per mip — the same
+    reshape-max, batched over the cascade axis — and each coarse sample is
+    tested at the mip the fine march would use at that position/step size
+    (max of mip_from_pos and mip_from_dt with the fine ladder's dt schedule,
+    raymarching.cu:42-54), so unbounded scenes keep empty-space skipping.
     """
-    if cascades != 1:
-        return nears, fars
-    coarse = (bitfield.reshape(4096, 64).max(-1) > 0)  # [16^3] bool, Morton
     n = n_steps
     frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
     tc = nears[:, None] + frac[None, :] * (fars - nears)[:, None]  # [N, n]
     xyz = rays_o[:, None, :] + tc[..., None] * rays_d[:, None, :]
-    cell = jnp.clip(((xyz / bound) * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.int32)
-    occ = jnp.take(coarse, morton3d(cell).astype(jnp.int32), axis=0)
+    if cascades == 1:
+        coarse = (bitfield.reshape(4096, 64).max(-1) > 0)  # [16^3] bool, Morton
+        cell = jnp.clip(((xyz / bound) * 0.5 + 0.5) * 16.0, 0.0, 15.0).astype(jnp.int32)
+        occ = jnp.take(coarse, morton3d(cell).astype(jnp.int32), axis=0)
+    else:
+        coarse = (bitfield.reshape(cascades, 4096, 64).max(-1) > 0)  # [C, 16^3]
+        dt_min = 2.0 * SQRT3 / max_steps
+        dt_max = 2.0 * SQRT3 * bound / GRID_SIZE
+        if dt_gamma > 0.0:
+            dt = jnp.clip(tc * dt_gamma, dt_min, dt_max)
+        else:
+            dt = jnp.full_like(tc, dt_min)
+        mip = jnp.maximum(mip_from_pos(xyz, cascades), mip_from_dt(dt, cascades))
+        mip_bound = jnp.minimum(jnp.exp2(mip.astype(jnp.float32)), bound)
+        cell = jnp.clip((xyz / mip_bound[..., None] * 0.5 + 0.5) * 16.0,
+                        0.0, 15.0).astype(jnp.int32)
+        code = mip * 4096 + morton3d(cell).astype(jnp.int32)
+        occ = jnp.take(coarse.reshape(-1), code, axis=0)
     occ = occ & (tc < fars[:, None])
     any_hit = occ.any(axis=1)
     first = jnp.argmax(occ, axis=1).astype(jnp.float32)
@@ -447,6 +464,30 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     the identical packing, gather replaces the global sort with rank
     inversion and measures faster at budget << N*C).
     """
+    ts, dts, valid = march_candidates(
+        rays_o, rays_d, bitfield, bound, cascades, dt_gamma, max_steps,
+        num_candidates, perturb=perturb, min_near=min_near, aabb=aabb,
+        occ_stride=occ_stride, coarse_steps=coarse_steps,
+        span_adaptive=span_adaptive)
+    compact = compact_flat_gather if select == "gather" else compact_flat_direct
+    out = compact(ts, dts, valid, rays_o, rays_d, k, budget)
+    return jax.tree.map(jax.lax.stop_gradient, out)
+
+
+def march_candidates(rays_o, rays_d, bitfield, bound: float, cascades: int,
+                     dt_gamma: float, max_steps: int,
+                     num_candidates: int | None = None,
+                     perturb: jnp.ndarray | None = None,
+                     min_near: float = 0.05,
+                     aabb: jnp.ndarray | None = None,
+                     occ_stride: int = 2, coarse_steps: int = 0,
+                     span_adaptive: bool = False):
+    """Occupancy-tested candidate ladder (the march minus the packing).
+
+    Returns (ts, dts, valid) [N, C]: the candidate schedule of
+    march_rays_flat with validity = in-interval AND occupied AND in-bounds.
+    Factored out so the transmittance-termination renderer can slice the
+    ladder into rounds and pack each round separately (render.renderer)."""
     if aabb is None:
         aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
                          jnp.float32)
@@ -455,7 +496,8 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
     if coarse_steps > 0:
         nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
-                                     cascades, bound, n_steps=coarse_steps)
+                                     cascades, bound, n_steps=coarse_steps,
+                                     dt_gamma=dt_gamma, max_steps=max_steps)
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma,
                                   bound, max_steps, perturb,
                                   span_adaptive=span_adaptive)
@@ -467,9 +509,7 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     else:
         occ = occupancy_at(xyz, dts, bitfield, cascades, bound)
     valid = valid & occ & (jnp.abs(xyz).max(-1) <= bound)
-    compact = compact_flat_gather if select == "gather" else compact_flat_direct
-    out = compact(ts, dts, valid, rays_o, rays_d, k, budget)
-    return jax.tree.map(jax.lax.stop_gradient, out)
+    return ts, dts, valid
 
 
 def march_rays_flat_grouped(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -522,7 +562,8 @@ def march_rays_flat_grouped(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
     if coarse_steps > 0:
         nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
-                                     cascades, bound, n_steps=coarse_steps)
+                                     cascades, bound, n_steps=coarse_steps,
+                                     max_steps=max_steps)
     dt_min = 2.0 * SQRT3 / max_steps
     dt_max = 2.0 * SQRT3 * bound / GRID_SIZE
     del dt_max  # uniform ladder: dt == dt_min (dt_gamma == 0 contract)
@@ -598,7 +639,8 @@ def march_rays_grid(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
     if coarse_steps > 0:
         nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
-                                     cascades, bound, n_steps=coarse_steps)
+                                     cascades, bound, n_steps=coarse_steps,
+                                     dt_gamma=dt_gamma, max_steps=max_steps)
     ts, dts, valid = candidate_ts(nears, fars, num_candidates, dt_gamma, bound,
                                   max_steps, perturb,
                                   span_adaptive=span_adaptive)

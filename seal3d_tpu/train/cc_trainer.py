@@ -99,3 +99,25 @@ class CCNeRFTrainer(Trainer):
         # rebuild the jitted steps around the residual loss
         self._cc_loss_fn = loss_fn
         self._build_steps(loss_override=loss_fn)
+
+    def load_checkpoint(self, path: str):
+        """Rank/resolution-aware load: reference .pth checkpoints carry the
+        cumulative rank lists + resolution, and the model is RE-INSTANTIATED
+        to that structure before loading (the reference's 'very ugly'
+        CCNeRF re-init, tensoRF/utils.py:330-348)."""
+        if path.endswith(".pth"):
+            from seal3d_tpu.train import checkpoint as ckpt_io
+
+            params, new_cfg = ckpt_io.import_torch_ccnerf(path, self.fcfg)
+            self.fcfg = new_cfg
+            if self.state is None:
+                self.init_state()
+            self.state = self.state._replace(
+                params=params,
+                opt_state=self.optimizer.init(params),
+                ema_params=jax.tree.map(jnp.copy, params))
+            self._wrap_residual_loss()  # re-capture the new fcfg
+            print(f"[ckpt] torch ccnerf checkpoint: resolution "
+                  f"{new_cfg.resolution}, ranks {new_cfg.rank_vec}")
+            return self.state
+        return super().load_checkpoint(path)

@@ -65,6 +65,26 @@ class TensoRFTrainer(Trainer):
                          reg_fn=reg,
                          optimizer=tensorf_optimizer(cfg, lr_factor, lr_net))
 
+    def load_checkpoint(self, path: str):
+        """Resolution-aware load: .pth checkpoints (reference format) carry
+        resolution metadata and are re-instantiated at checkpoint shape
+        (tensoRF/utils.py:328-356 analog); .npz loads may also carry
+        post-upsample/shrink factor shapes, which load_state accepts
+        leaf-wise (the jit caches retrace per shape)."""
+        if path.endswith(".pth"):
+            from seal3d_tpu.train import checkpoint as ckpt_io
+
+            params, res = ckpt_io.import_torch_tensorf(path, self.fcfg)
+            if self.state is None:
+                self.init_state()
+            self.state = self.state._replace(
+                params=params,
+                opt_state=self.optimizer.init(params),
+                ema_params=jax.tree.map(jnp.copy, params))
+            print(f"[ckpt] torch tensorf checkpoint at resolution {res}")
+            return self.state
+        return super().load_checkpoint(path)
+
     @staticmethod
     def _voxel_schedule(steps, n_init, n_final):
         if not steps:

@@ -354,13 +354,21 @@ class Trainer:
         t0 = time.time()
         last_metrics = {}
         i = 0
+        # ONE host sync at loop entry: step/iter-density counters are then
+        # tracked host-side. Reading int(state.step)/iter_density from the
+        # device every block costs a tunnel round trip AND serializes the
+        # dispatch pipeline (the next block can't be enqueued until the
+        # previous one finishes) — on the axon relay this was several ms per
+        # 16-step block of pure latency.
+        step_i = int(self.state.step)
+        iter_density = int(self.state.occ.iter_density)
         while i < steps:
-            step_i = int(self.state.step)
             self.loop_key, k1, k2 = jax.random.split(self.loop_key, 3)
             if not self.use_dense and step_i % self.cfg.update_grid_interval == 0:
-                full = self.state.occ.iter_density < self.cfg.full_grid_updates
-                fn = self._update_grid_full if bool(full) else self._update_grid_partial
+                full = iter_density < self.cfg.full_grid_updates
+                fn = self._update_grid_full if full else self._update_grid_partial
                 self.state = fn(self.state, k1)
+                iter_density += 1
                 self._post_grid_update()
                 # From scratch, retuning waits out the full-update phase: the
                 # early mean_count reflects a still-dense grid and would churn
@@ -369,17 +377,18 @@ class Trainer:
                 # retunes as soon as mean_count has a measurement instead —
                 # otherwise the first 256 of a 500-step finetune run unpacked.
                 if self.cfg.adaptive_budget and (
-                        self.cfg.retune_warm or not bool(full)):
+                        self.cfg.retune_warm or not full):
                     self._retune_budget()
             if blocked:
                 n = min(self.cfg.update_grid_interval, steps - i)
                 if self.use_dense:
                     n = min(steps - i, 64)
                 self.state, metrics = self._train_block(self.state, k2, n)
-                i += n
             else:
+                n = 1
                 self.state, metrics = self._train_step(self.state, k2)
-                i += 1
+            i += n
+            step_i += n
             if (i - 1) % log_every < (1 if not blocked else self.cfg.update_grid_interval) \
                     or i >= steps:
                 metrics = jax.device_get(metrics)

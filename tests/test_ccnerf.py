@@ -1,6 +1,7 @@
 """CCNeRF tests: residual structure, finalize/compress invariants, compose."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,6 +78,7 @@ def test_compose_two_objects():
     np.testing.assert_allclose(np.asarray(sig), np.asarray(sa + sb), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_cc_training_improves():
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.render.renderer import RenderOptions

@@ -83,6 +83,97 @@ def test_torch_pth_into_bucket_backend(tmp_path):
     np.testing.assert_allclose(out_b, out_x, rtol=1e-6, atol=1e-6)
 
 
+def test_torch_tensorf_roundtrip_post_upsample(tmp_path):
+    """TensoRF .pth export -> import must rebuild the model AT CHECKPOINT
+    SHAPE (incl. post-upsample resolutions != the config default) and
+    reproduce outputs exactly (VERDICT r2 item 5; reference
+    tensoRF/utils.py:239-356)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seal3d_tpu.models import tensorf
+    from seal3d_tpu.models.tensorf import TensoRFConfig
+    from seal3d_tpu.train import checkpoint as ckpt_io
+
+    cfg = TensoRFConfig(bound=1.0, resolution=(24, 24, 24),
+                        sigma_rank=(4, 4, 4), color_rank=(8, 8, 8))
+    params = tensorf.init(jax.random.PRNGKey(1), cfg)
+    params = tensorf.upsample_model(params, cfg, (40, 44, 36))
+    # shrink to a non-cubic aabb too (exercises the aabb_train round-trip)
+    params["aabb"] = jnp.array([-0.9, -0.8, -1.0, 1.0, 0.7, 0.85], jnp.float32)
+    path = str(tmp_path / "tensorf.pth")
+    ckpt_io.export_torch_tensorf(path, params, step=123)
+    got, res = ckpt_io.import_torch_tensorf(path, cfg)
+    assert res == [40, 44, 36] == ckpt_io.tensorf_resolution(got)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-0.8,
+                           maxval=0.8)
+    d = jax.random.normal(jax.random.PRNGKey(3), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    s0, c0 = tensorf.apply(params, cfg, x, d)
+    s1, c1 = tensorf.apply(got, cfg, x, d)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=1e-6)
+    # cp decomposition round-trips too, and vm/cp mismatch fails fast
+    cfg_cp = TensoRFConfig(bound=1.0, resolution=(20, 20, 20),
+                           decomposition="cp", sigma_rank=(8, 8, 8),
+                           color_rank=(12, 12, 12))
+    p_cp = tensorf.init(jax.random.PRNGKey(4), cfg_cp)
+    path_cp = str(tmp_path / "tensorf_cp.pth")
+    ckpt_io.export_torch_tensorf(path_cp, p_cp)
+    got_cp, _ = ckpt_io.import_torch_tensorf(path_cp, cfg_cp)
+    s0, _ = tensorf.apply(p_cp, cfg_cp, x, d)
+    s1, _ = tensorf.apply(got_cp, cfg_cp, x, d)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ckpt_io.import_torch_tensorf(path_cp, cfg)
+
+
+def test_torch_ccnerf_roundtrip_and_compressed(tmp_path):
+    """CCNeRF .pth round-trip: rank metadata drives at-structure re-init
+    (reference re-instantiates CCNeRF from checkpoint rank lists,
+    tensoRF/utils.py:330-348), including post-compress group structures."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seal3d_tpu.models import ccnerf
+    from seal3d_tpu.models.ccnerf import CCNeRFConfig
+    from seal3d_tpu.train import checkpoint as ckpt_io
+
+    cfg = CCNeRFConfig(bound=1.0, resolution=(24, 24, 24),
+                       rank_vec_density=(2, 4), rank_mat_density=(0, 2),
+                       rank_vec=(4, 8), rank_mat=(0, 4), degree=2)
+    params = ccnerf.init(jax.random.PRNGKey(1), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3), minval=-0.8,
+                           maxval=0.8)
+    d = jax.random.normal(jax.random.PRNGKey(3), (64, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    path = str(tmp_path / "cc.pth")
+    ckpt_io.export_torch_ccnerf(path, params, cfg)
+    got, got_cfg = ckpt_io.import_torch_ccnerf(path, cfg)
+    assert got_cfg.rank_vec == (4, 8) and got_cfg.rank_mat_density == (0, 2)
+    s0, c0 = ccnerf.apply(params, cfg, x, d)
+    s1, c1 = ccnerf.apply(got, got_cfg, x, d)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=1e-6)
+
+    # compressed model: group structure no longer matches the config tuples;
+    # rank metadata must be derived from the params and still round-trip
+    comp = ccnerf.compress(params, (2, 2, 4, 4))
+    path2 = str(tmp_path / "cc_comp.pth")
+    ckpt_io.export_torch_ccnerf(path2, comp, cfg)
+    got2, cfg2 = ckpt_io.import_torch_ccnerf(path2, cfg)
+    assert cfg2.rank_vec == (4,) and cfg2.rank_vec_density == (2,)
+    s0, c0 = ccnerf.apply(comp, cfg, x, d)
+    s1, c1 = ccnerf.apply(got2, cfg2, x, d)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(c1), rtol=1e-6)
+
+
 def test_error_map_training(tmp_path):
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.models import ngp

@@ -1,6 +1,7 @@
 """D-NeRF tests: variant shapes, time-sliced occupancy, small dynamic fit."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +72,7 @@ def test_time_grid_update():
     assert (g0 != g3).mean() > 0.0001
 
 
+@pytest.mark.slow
 def test_dnerf_trains_dynamic_scene():
     from seal3d_tpu.data.synthetic import DynamicSyntheticScene
     from seal3d_tpu.render.renderer import RenderOptions

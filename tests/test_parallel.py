@@ -74,6 +74,60 @@ def test_level_sharded_table_never_gathered():
         assert n * 4 < table_bytes, f"full-table all-gather found: {line[:120]}"
 
 
+def _halo_cfg():
+    # T=2^12 -> wrap period 16 (P^3=T, P%4==0): the smallest halo-legal table
+    return HashGridConfig(num_levels=8, level_dim=2, base_resolution=16,
+                          log2_hashmap_size=12, desired_resolution=128,
+                          gridtype="wrap", backend="halo", shard_levels=True)
+
+
+def test_halo_level_sharded_matches_unsharded():
+    """The flagship halo kernel under shard_levels (shard_map over the level
+    axis, VERDICT r2 item 8): output and master-table gradient must match
+    the single-device halo path bit-for-bit in structure (small tolerance:
+    the kernel accumulates in a different shard order)."""
+    import dataclasses
+
+    cfg = _halo_cfg()
+    cfg0 = dataclasses.replace(cfg, shard_levels=False)
+    key = jax.random.PRNGKey(0)
+    table = hashgrid_init(key, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+
+    ref_out = jax.jit(lambda t: hashgrid_encode(t, x, cfg0))(table)
+    ref_grad = jax.jit(jax.grad(lambda t: _encode_loss(t, x, cfg0)))(table)
+
+    mesh = make_mesh_2d(4, 2)
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda t: hashgrid_encode(t, x, cfg))(table)
+        grad = jax.jit(jax.grad(lambda t: _encode_loss(t, x, cfg)))(table)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
+                                   atol=1e-5)
+
+
+def test_halo_level_sharded_table_never_gathered():
+    """Compiled HLO of the level-sharded halo encode+grad must not all-gather
+    anything as large as the full table (only [M, L*F] features cross chips)."""
+    cfg = _halo_cfg()
+    table = hashgrid_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (256, 3))
+    table_bytes = table.size * 4
+
+    mesh = make_mesh_2d(4, 2)
+    with jax.sharding.set_mesh(mesh):
+        txt = (jax.jit(jax.grad(lambda t: _encode_loss(t, x, cfg)))
+               .lower(table).compile().as_text())
+    for line in txt.splitlines():
+        if "all-gather(" not in line:
+            continue
+        shape = line.split("=", 1)[1].strip().split("{")[0]
+        dims = shape.split("[")[1].split("]")[0]
+        n = int(np.prod([int(d) for d in dims.split(",") if d.strip()]))
+        assert n * 4 < table_bytes, f"full-table all-gather found: {line[:120]}"
+
+
 def test_constrain_noop_without_mesh():
     x = jnp.ones((8, 4))
     out = jax.jit(lambda v: constrain(v, "data", None) * 2.0)(x)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from seal3d_tpu.data.sdf_provider import SDFDataset
 from seal3d_tpu.models.sdf import SDFConfig
@@ -25,6 +26,7 @@ def test_sdf_dataset_signs():
     assert abs(sdf[2]) < 0.07  # near surface
 
 
+@pytest.mark.slow
 def test_sdf_fit_improves():
     ds = _box_dataset()
     tr = SDFTrainer(SDFConfig(log2_hashmap_size=14), ds, num_points=2048,

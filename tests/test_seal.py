@@ -163,6 +163,7 @@ def test_force_fill_and_hack_bitfield():
     assert total_bits == len(cells)
 
 
+@pytest.mark.slow
 def test_seal_bbox_edit_e2e(tmp_path):
     """Tiny teacher->student bbox edit: pretraining must distill the proxy
     (mapped-teacher) field into the student — sigma and color errors on the

@@ -2,6 +2,7 @@
 resolution surgeries, and a small end-to-end fit."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +95,7 @@ def test_upsample_and_shrink():
     assert shrunk["sigma_vec"][0].shape[1] < 16
 
 
+@pytest.mark.slow
 def test_tensorf_trains(tmp_path):
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.render.renderer import RenderOptions

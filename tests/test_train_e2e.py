@@ -7,6 +7,7 @@ full size.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,6 +31,7 @@ def _tiny_setup(tmp_path=None):
     return scene, ds, tr
 
 
+@pytest.mark.slow
 def test_train_improves_psnr(tmp_path):
     scene, ds, tr = _tiny_setup(tmp_path)
     tr.init_state()
@@ -50,6 +52,7 @@ def test_train_improves_psnr(tmp_path):
     assert psnr2 > psnr0
 
 
+@pytest.mark.slow
 def test_adaptive_budget_fast_path():
     """Occupancy fast path with adaptive_budget: mean_count EMA tracks valid
     samples, the trainer picks a flat_frac bucket at grid-update boundaries,
@@ -78,6 +81,7 @@ def test_adaptive_budget_fast_path():
     assert len(tr._step_cache) <= n_cached + 1
 
 
+@pytest.mark.slow
 def test_retune_bucket_selection_and_warm_start():
     """_retune_budget picks the smallest bucket covering mean_count*1.15 and
     the retune_warm flag lets warm starts (Seal finetune) retune during the
