@@ -42,15 +42,25 @@ def composite_dense(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
 
 def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
                    ts: jnp.ndarray, ray_id: jnp.ndarray, offsets: jnp.ndarray,
-                   valid: jnp.ndarray, num_rays: int):
+                   valid: jnp.ndarray, num_rays: int,
+                   tau_in: jnp.ndarray | None = None):
     """Composite a flat ray-contiguous compacted buffer (see raymarch.MarchedRays).
 
     Args:
       sigmas: [M]; rgbs: [M, 3]; deltas, ts: [M]; ray_id: [M] int32;
       offsets: [N] segment starts; valid: [M] bool; num_rays: N (static).
+      tau_in: optional [N] per-ray optical depth accumulated by EARLIER
+        marching rounds (the transmittance-termination path,
+        render.renderer.render_rays term_rounds > 1): every weight is
+        scaled by exp(-tau_in[ray]), and the returned `tau_out` extends it
+        with this buffer's per-ray optical depth so rounds chain exactly —
+        the multi-round composite is bit-for-bit the single-pass composite
+        of the concatenated sample stream (the reference instead carries T
+        per alive ray between marching iterations, raymarching.cu:799-914).
 
     Returns:
-      dict with weights [M], weights_sum [N], depth [N], image [N, 3].
+      dict with weights [M], weights_sum [N], depth [N], image [N, 3]
+      (+ tau_out [N] when tau_in is given).
     """
     m = sigmas.shape[0]
     sdelta = jnp.where(valid, sigmas * deltas, 0.0)
@@ -76,6 +86,8 @@ def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
     # Exclusive in-segment optical depth: (inclusive prefix diff) - own sdelta
     # + start's sdelta (the start sample's own contribution is excluded).
     tau = (cum_hi - hi_s) + (cum_lo - lo_s) - sdelta + sd_s
+    if tau_in is not None:
+        tau = tau + jnp.take(tau_in, ray_id)
     trans = jnp.exp(-tau)
     alpha = 1.0 - jnp.exp(-sdelta)
     weights = jnp.where(valid, trans * alpha, 0.0)
@@ -85,5 +97,8 @@ def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
     depth = seg.at[ray_id].add(weights * ts)
     image = jnp.zeros((num_rays, 3), rgbs.dtype).at[ray_id].add(
         weights[:, None] * jnp.where(valid[:, None], rgbs, 0.0))
-    return {"weights": weights, "weights_sum": weights_sum, "depth": depth,
-            "image": image}
+    out = {"weights": weights, "weights_sum": weights_sum, "depth": depth,
+           "image": image}
+    if tau_in is not None:
+        out["tau_out"] = tau_in + seg.at[ray_id].add(sdelta)
+    return out

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.ops.composite import composite_dense, composite_flat
-from seal3d_tpu.ops.raymarch import (march_rays, march_rays_flat,
+from seal3d_tpu.ops.raymarch import (compact_flat_direct, march_candidates,
+                                     march_rays, march_rays_flat,
                                      march_rays_flat_grouped, march_rays_grid,
                                      near_far_from_aabb, sph_from_ray)
 
@@ -75,6 +76,23 @@ class RenderOptions:
     # the global dt_min (dt_gamma == 0 only): the ladder always covers the
     # tightened interval, so num_candidates can halve (see candidate_ts).
     span_adaptive: bool = False
+    # Transmittance-terminated marching rounds (flat path only): the
+    # candidate ladder is split into `term_rounds` column slices; each round
+    # packs its valid AND STILL-ALIVE samples (per-ray optical depth carried
+    # between rounds, tau < -log(term_thresh)) into its own, smaller flat
+    # budget before the field runs. Saturated rays stop paying field cost
+    # after the round that killed them — the static-shape recast of the
+    # reference's alive-list compaction + T_thresh early-out
+    # (raymarching.cu:557,868; nerf/renderer.py:341-367). 1 disables.
+    term_rounds: int = 1
+    # Rays stop marching once transmittance < this (reference T_thresh).
+    term_thresh: float = 1e-4
+    # Per-round flat budgets as fractions of the single-round budget
+    # (n * budget_per_ray * flat_frac); len must equal term_rounds. The sum
+    # being < 1 is where the field savings come from: termination shrinks
+    # the live sample population in later rounds, so later budgets shrink.
+    # None -> geometric halving scaled to sum ~0.8.
+    term_budget_fracs: tuple | None = None
     # Group-granular packed march (march_rays_flat_grouped): the candidate
     # ladder, bitfield gather, and packing sort run over groups of occ_stride
     # candidates instead of candidates (~s-fold smaller), exploiting that
@@ -94,6 +112,76 @@ class RenderOptions:
     def aabb(self):
         b = self.bound
         return (-b, -b, -b, b, b, b)
+
+
+def round_budget_fracs(rounds: int) -> tuple:
+    """Default per-round budget fractions: geometric halving scaled so the
+    total is 0.8x the single-round budget (the first round carries most of
+    the coarse-tightened ladder's valid samples; termination thins the rest).
+    """
+    raw = [0.5 ** r for r in range(rounds)]
+    s = sum(raw)
+    return tuple(0.8 * f / s for f in raw)
+
+
+def _render_rounds(params, field, cfg, bitfield, rays_o, rays_d,
+                   opts: RenderOptions, jitter, aabb):
+    """Transmittance-terminated multi-round flat render (term_rounds > 1).
+
+    One jitted program: the full candidate ladder is built once, then each
+    round packs the valid-and-alive samples of its column slice into a
+    shrinking static budget, queries the field, and composites with the
+    per-ray optical depth carried from earlier rounds (composite_flat
+    tau_in/tau_out). Equivalent to the single-pass composite of the
+    concatenated stream — termination only drops samples whose weight is
+    already < term_thresh. Static-shape analog of the reference's alive-ray
+    loop (nerf/renderer.py:341-367, raymarching.cu:700-914)."""
+    n = rays_o.shape[0]
+    k = opts.budget_per_ray
+    rounds = opts.term_rounds
+    c = opts.num_candidates
+    assert c % rounds == 0, "num_candidates must divide into term_rounds"
+    fracs = opts.term_budget_fracs or round_budget_fracs(rounds)
+    assert len(fracs) == rounds
+    base = n * k * opts.flat_frac
+    tau_max = -math.log(opts.term_thresh)
+    k_r = max(-(-k // rounds), 1)
+    cs = c // rounds
+
+    ts, dts, valid = march_candidates(
+        rays_o, rays_d, bitfield, bound=opts.bound, cascades=opts.cascades,
+        dt_gamma=opts.dt_gamma, max_steps=opts.max_steps,
+        num_candidates=c, perturb=jitter, min_near=opts.min_near, aabb=aabb,
+        occ_stride=opts.occ_stride, coarse_steps=opts.coarse_steps,
+        span_adaptive=opts.span_adaptive)
+
+    tau = jnp.zeros((n,), jnp.float32)
+    image = jnp.zeros((n, 3), jnp.float32)
+    depth = jnp.zeros((n,), jnp.float32)
+    wsum = jnp.zeros((n,), jnp.float32)
+    num_samples = jnp.zeros((), jnp.int32)
+    for r in range(rounds):
+        budget = max(int(round(base * fracs[r] / 128)) * 128, 128)
+        sl = slice(r * cs, (r + 1) * cs)
+        alive = tau < tau_max
+        v_r = valid[:, sl] & alive[:, None]
+        mf = compact_flat_direct(ts[:, sl], dts[:, sl], v_r,
+                                 rays_o, rays_d, k_r, budget)
+        mf = jax.tree.map(jax.lax.stop_gradient, mf)
+        try:
+            sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs,
+                                     valid=mf.valid)
+        except TypeError:
+            sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
+        sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
+        o = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
+                           mf.offsets, mf.valid, n, tau_in=tau)
+        tau = o["tau_out"]
+        image = image + o["image"]
+        depth = depth + o["depth"]
+        wsum = wsum + o["weights_sum"]
+        num_samples = num_samples + mf.valid.sum()
+    return {"image": image, "depth": depth, "weights_sum": wsum}, num_samples
 
 
 def _background(field, params, cfg, opts, rays_o, rays_d, bg_color):
@@ -128,7 +216,12 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
         jitter = jax.random.uniform(key, (n,))
     if opts.compaction == "topk":
         k = opts.budget_per_ray
-        if opts.flat_frac is not None and opts.flat_frac < 1.0:
+        if (opts.term_rounds > 1 and opts.flat_frac is not None
+                and opts.flat_frac < 1.0):
+            out, num_samples = _render_rounds(params, field, cfg, bitfield,
+                                              rays_o, rays_d, opts, jitter,
+                                              aabb)
+        elif opts.flat_frac is not None and opts.flat_frac < 1.0:
             # March straight to the packed flat layout (one argsort; the
             # [N, K] grid and its top_k never exist) — the field runs on
             # `budget` real samples instead of all N*K grid slots.

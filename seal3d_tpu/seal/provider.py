@@ -29,18 +29,32 @@ def seal_random_dataset(mapper: SealMapper, n_views: int, h: int, w: int,
                        h=h, w=w, radius=radius)
 
 
-def proxy_dataset(dataset: NeRFDataset, render_view_fn) -> NeRFDataset:
+def proxy_dataset(dataset: NeRFDataset, render_view_fn,
+                  sync_at_end: bool = False) -> NeRFDataset:
     """Replace all gt images (and depths) with teacher renders.
 
     Args:
       render_view_fn: pose -> (image [H,W,3] float in [0,1], depth [H,W]).
+      sync_at_end: render_view_fn returns DEVICE arrays; dispatch every view
+        first and fetch the whole stack with one device_get (pipelines the
+        renders instead of a host sync per view).
     Returns a new NeRFDataset with uint8 RGB + float32 depth.
     """
     images, depths = [], []
     for pose in dataset.poses:
         img, dep = render_view_fn(pose)
-        images.append((np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
-        depths.append(np.asarray(dep, np.float32))
+        if sync_at_end:
+            images.append(img)
+            depths.append(dep)
+        else:
+            images.append((np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8))
+            depths.append(np.asarray(dep, np.float32))
+    if sync_at_end:
+        import jax
+
+        images, depths = jax.device_get((images, depths))
+        images = [(np.clip(i, 0, 1) * 255).astype(np.uint8) for i in images]
+        depths = [np.asarray(d, np.float32) for d in depths]
     out = NeRFDataset(
         poses=dataset.poses, images=np.stack(images),
         intrinsics=dataset.intrinsics, h=dataset.h, w=dataset.w,

@@ -126,8 +126,12 @@ class SealTrainer(Trainer):
     # ------------------------------------------------------------ teacher side
 
     def render_teacher_view(self, pose, h=None, w=None, chunk=None,
-                            bg_color: float = 1.0):
-        """Render one full view through the (mapped) teacher."""
+                            bg_color: float = 1.0, as_numpy: bool = True):
+        """Render one full view through the (mapped) teacher.
+
+        as_numpy=False returns device arrays WITHOUT a host sync, so callers
+        rendering many views (proxy_datasets) can pipeline all dispatches
+        and pay the tunnel round-trip once at the end."""
         from seal3d_tpu.data.rays import get_full_rays
 
         h = h or self.dataset.h
@@ -149,14 +153,23 @@ class SealTrainer(Trainer):
                                        jnp.float32(bg_color))
             imgs.append(out["image"][: min(chunk, n - i)])
             deps.append(out["depth"][: min(chunk, n - i)])
-        return (np.asarray(jnp.concatenate(imgs)).reshape(h, w, 3),
-                np.asarray(jnp.concatenate(deps)).reshape(h, w))
+        img = jnp.concatenate(imgs).reshape(h, w, 3)
+        dep = jnp.concatenate(deps).reshape(h, w)
+        if as_numpy:
+            return np.asarray(img), np.asarray(dep)
+        return img, dep
 
     def proxy_datasets(self):
         """Replace gt of the attached dataset with teacher renders
-        (reference train:275-281 -> provider.proxy_dataset)."""
+        (reference train:275-281 -> provider.proxy_dataset). All view
+        renders are dispatched asynchronously; the device->host transfer
+        happens once for the whole stack (a per-view np.asarray serialized
+        every render on the tunnel round-trip — measured 28-37 s for 24
+        views where the pure compute is a few seconds)."""
         t0 = time.time()
-        ds = proxy_dataset(self.dataset, lambda p: self.render_teacher_view(p))
+        ds = proxy_dataset(self.dataset,
+                           lambda p: self.render_teacher_view(p, as_numpy=False),
+                           sync_at_end=True)
         self.attach_dataset(ds)
         return time.time() - t0
 
@@ -231,22 +244,24 @@ class SealTrainer(Trainer):
                                             pcfg.global_angle_step,
                                             teacher_query))
 
-        # pad every shell to a batch multiple and ship to device
+        # pad every shell to a batch multiple and ship to device, batched
+        # [n_batches, bs, ...] so epoch loops scan without host-side slicing
         bs = pcfg.batch_size
         for k, v in data.items():
             n = len(v["points"])
             if n == 0:
                 continue
             pad = (-n) % bs
+            nb = (n + pad) // bs
             idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
             wgt = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
             self.pretrain_data[k] = {
-                "points": jnp.asarray(v["points"][idx]),
-                "dirs": jnp.asarray(v["dirs"][idx]),
-                "sigma": jnp.asarray(v["sigma"][idx]),
-                "color": jnp.asarray(v["color"][idx]),
-                "weight": jnp.asarray(wgt),
-                "n_batches": (n + pad) // bs,
+                "points": jnp.asarray(v["points"][idx]).reshape(nb, bs, 3),
+                "dirs": jnp.asarray(v["dirs"][idx]).reshape(nb, bs, 3),
+                "sigma": jnp.asarray(v["sigma"][idx]).reshape(nb, bs),
+                "color": jnp.asarray(v["color"][idx]).reshape(nb, bs, 3),
+                "weight": jnp.asarray(wgt).reshape(nb, bs),
+                "n_batches": nb,
             }
         self.is_pretraining = True
         self._build_pretrain_opt(pcfg.lr, pcfg.sigma_log_space)
@@ -328,12 +343,13 @@ class SealTrainer(Trainer):
             def loss_fn(p):
                 sigma, color = field.apply(p, fcfg, batch["points"], batch["dirs"])
                 w = batch["weight"]
+                wsum = jnp.maximum(w.sum(), 1e-6)
                 if sigma_log_space:
                     diff = jnp.abs(jnp.log1p(sigma) - jnp.log1p(batch["sigma"]))
                 else:
                     diff = jnp.abs(sigma - batch["sigma"])
-                sl = (diff * w).sum() / w.sum()
-                cl = (jnp.abs(color - batch["color"]) * w[:, None]).sum() / (3 * w.sum())
+                sl = (diff * w).sum() / wsum
+                cl = (jnp.abs(color - batch["color"]) * w[:, None]).sum() / (3 * wsum)
                 return sl + cl
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -346,26 +362,69 @@ class SealTrainer(Trainer):
 
         self._pretrain_step = jax.jit(pretrain_step, donate_argnums=(0, 1, 2))
 
+        def pretrain_block(params, pre_opt_state, ema, data, n_epochs: int):
+            """`n_epochs` full shell passes fused into ONE XLA program
+            (scan over epochs of scans over each shell's batch axis) — the
+            per-batch/per-epoch host dispatch + loss sync of the plain loop
+            cost more than the compute at these sizes on the tunnel."""
+
+            def epoch_body(carry, _):
+                params, opt, ema = carry
+                losses = []
+                for src in data:   # static tuple of shells
+                    def batch_body(c, batch):
+                        p, o, e = c
+                        p, o, e, loss = pretrain_step(p, o, e, batch)
+                        return (p, o, e), loss
+
+                    (params, opt, ema), ls = jax.lax.scan(
+                        batch_body, (params, opt, ema),
+                        {k: src[k] for k in ("points", "dirs", "sigma",
+                                             "color", "weight")})
+                    losses.append(ls.mean())
+                return (params, opt, ema), jnp.stack(losses).mean()
+
+            (params, pre_opt_state, ema), losses = jax.lax.scan(
+                epoch_body, (params, pre_opt_state, ema), None, length=n_epochs)
+            return params, pre_opt_state, ema, losses
+
+        self._pretrain_block = jax.jit(pretrain_block, static_argnums=(4,),
+                                       donate_argnums=(0, 1, 2))
+
     # ----------------------------------------------------------- stage drivers
 
     def pretrain_one_epoch(self, key=None):
-        """One pass over all cached shells (reference pretrain_one_epoch:363)."""
+        """One pass over all cached shells (reference pretrain_one_epoch:363).
+        Interactive/GUI granularity; batch runs use pretrain_epochs."""
         # student bitfield must include the (empty) edit region
         self.state = self.state._replace(occ=self.state.occ._replace(
             bitfield=hack_bitfield(self.state.occ.bitfield, self._hack_bytes,
                                    self._hack_masks)))
-        bs = self.pcfg.batch_size
         losses = []
         params, ema = self.state.params, self.state.ema_params
         for part, src in self.pretrain_data.items():
             for b in range(src["n_batches"]):
-                batch = {k: src[k][b * bs : (b + 1) * bs]
+                batch = {k: src[k][b]
                          for k in ("points", "dirs", "sigma", "color", "weight")}
                 params, self._pre_opt_state, ema, loss = self._pretrain_step(
                     params, self._pre_opt_state, ema, batch)
                 losses.append(loss)
         self.state = self.state._replace(params=params, ema_params=ema)
         return float(jnp.stack([jnp.asarray(l) for l in losses]).mean())
+
+    def pretrain_epochs(self, n_epochs: int):
+        """`n_epochs` shell passes in ONE device dispatch (scan-fused;
+        see _build_pretrain_opt.pretrain_block). Returns per-epoch mean
+        losses [n_epochs]."""
+        self.state = self.state._replace(occ=self.state.occ._replace(
+            bitfield=hack_bitfield(self.state.occ.bitfield, self._hack_bytes,
+                                   self._hack_masks)))
+        data = tuple(self.pretrain_data[k] for k in self.pretrain_data)
+        params, self._pre_opt_state, ema, losses = self._pretrain_block(
+            self.state.params, self._pre_opt_state, self.state.ema_params,
+            data, n_epochs)
+        self.state = self.state._replace(params=params, ema_params=ema)
+        return np.asarray(losses)
 
     def _post_grid_update(self):
         """Keep the bitfield hack + expanded march AABB alive across the base
@@ -421,12 +480,19 @@ class SealTrainer(Trainer):
         t_init = time.time() - t0
 
         epochs = pcfg.epochs if pretrain_epochs is None else pretrain_epochs
-        for e in range(epochs):
+        # blocks of <=10 epochs: one dispatch + one loss sync per block
+        # (per-epoch wall recorded as block/len for timer.json continuity)
+        e = 0
+        while e < epochs:
+            n = min(10, epochs - e)
             t0 = time.time()
-            loss = self.pretrain_one_epoch()
-            self.time_inspector["pretraining"].append(time.time() - t0)
-            if log and (e % 10 == 0 or e == epochs - 1):
-                print(f"[pretrain] epoch {e} loss={loss:.5f}")
+            losses = self.pretrain_epochs(n)
+            dt = (time.time() - t0) / n
+            self.time_inspector["pretraining"].extend([dt] * n)
+            if log:
+                print(f"[pretrain] epochs {e}-{e + n - 1} "
+                      f"loss={float(losses[-1]):.5f}")
+            e += n
         self.is_pretraining = False
 
         t_proxy = 0.0
