@@ -123,14 +123,39 @@ def main():
           f"{t_full*n_chunks/1e3:.2f} s/frame, "
           f"{h*w/(t_full*n_chunks/1e3)/1e3:.0f}k rays/s)", flush=True)
 
+    # Two-level march variants (march_rays_flat_2level / rounds-2level):
+    # march in isolation + full chunk + terminated rounds.
+    from seal3d_tpu.ops.raymarch import march_rays_flat_2level
+    tl_j = jax.jit(lambda bf, o, d: march_rays_flat_2level(
+        o, d, bf, bound=eval_opts.bound, cascades=eval_opts.cascades,
+        max_steps=eval_opts.max_steps, k=k, budget=budget,
+        num_candidates=eval_opts.num_candidates, min_near=eval_opts.min_near,
+        aabb=aabb, occ_stride=eval_opts.occ_stride,
+        coarse_steps=eval_opts.coarse_steps, group=8, over=1.5))
+    mf2 = tl_j(bitfield, ro, rd)
+    _sync(mf2.xyzs)
+    print(f"march 2level  valid={int(mf2.valid.sum())}  "
+          f"{timeit(tl_j, bitfield, ro, rd):8.2f} ms", flush=True)
+    tl_opts = dataclasses.replace(eval_opts, march_two_level=True, tl_group=8)
+    tl_full_j = jax.jit(lambda p, bf, o, d: render_rays(
+        p, field, cfg, bf, o, d, tl_opts, bg_color=bg, aabb=aabb))
+    out2 = tl_full_j(params, bitfield, ro, rd)
+    ref = full_j(params, bitfield, ro, rd)
+    d2 = float(jnp.abs(out2["image"] - ref["image"]).mean())
+    t2 = timeit(tl_full_j, params, bitfield, ro, rd)
+    print(f"full 2level   {t2:8.2f} ms  mean|dimg|={d2:.4f} "
+          f"({t_full*n_chunks/1e3:.2f} -> {t2*n_chunks/1e3:.2f} s/frame)",
+          flush=True)
+
     # Transmittance-terminated rounds variants: time the full chunk fn and
     # report real-sample counts so the budget schedule can be sized.
-    psnr_probe = None
-    for rounds, fracs in ((4, None), (8, None),
-                          (4, (0.45, 0.2, 0.1, 0.05)),
-                          (8, (0.3, 0.15, 0.1, 0.07, 0.05, 0.04, 0.03, 0.02))):
+    for rounds, fracs, tl in (
+            (8, (0.3, 0.15, 0.1, 0.07, 0.05, 0.04, 0.03, 0.02), False),
+            (4, (0.45, 0.2, 0.1, 0.05), True),
+            (8, (0.3, 0.15, 0.1, 0.07, 0.05, 0.04, 0.03, 0.02), True)):
         ropts = dataclasses.replace(eval_opts, term_rounds=rounds,
-                                    term_budget_fracs=fracs)
+                                    term_budget_fracs=fracs,
+                                    march_two_level=tl, tl_group=8)
         rj = jax.jit(lambda p, bf, o, d, _o=ropts: render_rays(
             p, field, cfg, bf, o, d, _o, bg_color=bg, aabb=aabb))
         out = rj(params, bitfield, ro, rd)
@@ -139,8 +164,8 @@ def main():
         # image delta vs the single-round render at the same point
         ref = full_j(params, bitfield, ro, rd)
         d_img = float(jnp.abs(out["image"] - ref["image"]).mean())
-        tag = "auto" if fracs is None else "tight"
-        print(f"rounds R={rounds} {tag:5s} {t_r:8.2f} ms  samples={ns} "
+        tag = ("2L" if tl else "1L") + " tight"
+        print(f"rounds R={rounds} {tag:8s} {t_r:8.2f} ms  samples={ns} "
               f"({ns/n_valid:.2f}x single) mean|dimg|={d_img:.4f} "
               f"({t_full*n_chunks/1e3:.2f} -> {t_r*n_chunks/1e3:.2f} s/frame)",
               flush=True)

@@ -40,10 +40,62 @@ def composite_dense(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
             "image": image}
 
 
+def _comp_scan(x):
+    """Compensated (TwoSum) inclusive prefix scan along axis 0.
+
+    Returns (hi, lo): hi is the rounded f32 prefix, lo the accumulated
+    rounding residual; (hi[j] - hi[i]) + (lo[j] - lo[i]) recovers a segment
+    sum accurate to the segment's own magnitude even when the global prefix
+    reaches ~1e6-1e9 (post-trunc_exp densities)."""
+
+    def _comp_add(x, y):
+        s = x[0] + y[0]
+        z = s - x[0]
+        err = (x[0] - (s - z)) + (y[0] - z)
+        return s, err + x[1] + y[1]
+
+    return jax.lax.associative_scan(_comp_add, (x, jnp.zeros_like(x)))
+
+
+def _segment_ends(offsets: jnp.ndarray, m: int) -> jnp.ndarray:
+    """End index (exclusive) of each ray's contiguous segment.
+
+    Valid for every compaction in ops.raymarch: offsets are the clipped
+    cumsum of per-ray counts, so segment r is exactly [offsets[r],
+    offsets[r+1]) and the last segment ends at the buffer (tail dump slots
+    carry valid=False and contribute nothing)."""
+    return jnp.concatenate(
+        [offsets[1:], jnp.full((1,), m, offsets.dtype)])
+
+
+def _segment_sums(chan_hi, chan_lo, offsets, ends):
+    """Per-segment sums from a prefix scan: one 2-gather diff per ray
+    instead of an [M]-row scatter-add (XLA scatter runs ~24M rows/s on this
+    chip — the scatter variant was 38 ms of the 151 ms eval chunk,
+    PERFORMANCE.md round 3). chan_lo is the optional compensation channel
+    (pass None for plain-f32 prefixes)."""
+    m = chan_hi.shape[0]
+    e_idx = jnp.clip(ends - 1, 0, m - 1)
+    s_idx = jnp.clip(offsets - 1, 0, m - 1)
+
+    def _pick(c, idx, nonzero):
+        v = jnp.take(c, idx, axis=0)
+        return jnp.where(nonzero[:, None] if c.ndim == 2 else nonzero, v, 0.0)
+
+    he = _pick(chan_hi, e_idx, ends > 0)
+    hs = _pick(chan_hi, s_idx, offsets > 0)
+    if chan_lo is None:
+        return he - hs
+    le = _pick(chan_lo, e_idx, ends > 0)
+    ls = _pick(chan_lo, s_idx, offsets > 0)
+    return (he - hs) + (le - ls)
+
+
 def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
                    ts: jnp.ndarray, ray_id: jnp.ndarray, offsets: jnp.ndarray,
                    valid: jnp.ndarray, num_rays: int,
-                   tau_in: jnp.ndarray | None = None):
+                   tau_in: jnp.ndarray | None = None,
+                   seg_mode: str = "scatter"):
     """Composite a flat ray-contiguous compacted buffer (see raymarch.MarchedRays).
 
     Args:
@@ -57,6 +109,13 @@ def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
         the multi-round composite is bit-for-bit the single-pass composite
         of the concatenated sample stream (the reference instead carries T
         per alive ray between marching iterations, raymarching.cu:799-914).
+      seg_mode: how per-ray reductions run. 'scatter' (default) is the
+        exact .at[ray_id].add reduction (any sample order; ~24M rows/s on
+        TPU). 'scan' sums segments by one plain-f32 cumsum + 2 boundary
+        gathers per ray (requires the ray-contiguous offsets contract all
+        ops.raymarch compactions satisfy; ~9 ms faster per 590k-sample
+        eval chunk, at ~2e-3 absolute channel error from prefix rounding
+        — inference-grade, not gradient-grade; scripts/probe_composite.py).
 
     Returns:
       dict with weights [M], weights_sum [N], depth [N], image [N, 3]
@@ -71,14 +130,7 @@ def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
     # depth's low bits. Carrying a (hi, lo) residual pair through the scan and
     # differencing hi and lo separately keeps the per-segment result accurate
     # regardless of the global prefix magnitude.
-    def _comp_add(x, y):
-        s = x[0] + y[0]
-        z = s - x[0]
-        err = (x[0] - (s - z)) + (y[0] - z)
-        return s, err + x[1] + y[1]
-
-    cum_hi, cum_lo = jax.lax.associative_scan(
-        _comp_add, (sdelta, jnp.zeros_like(sdelta)))
+    cum_hi, cum_lo = _comp_scan(sdelta)
     off = jnp.clip(offsets, 0, m - 1)
     hi_s = jnp.take(jnp.take(cum_hi, off), ray_id)
     lo_s = jnp.take(jnp.take(cum_lo, off), ray_id)
@@ -92,13 +144,36 @@ def composite_flat(sigmas: jnp.ndarray, rgbs: jnp.ndarray, deltas: jnp.ndarray,
     alpha = 1.0 - jnp.exp(-sdelta)
     weights = jnp.where(valid, trans * alpha, 0.0)
 
-    seg = jnp.zeros((num_rays,), weights.dtype)
-    weights_sum = seg.at[ray_id].add(weights)
-    depth = seg.at[ray_id].add(weights * ts)
-    image = jnp.zeros((num_rays, 3), rgbs.dtype).at[ray_id].add(
-        weights[:, None] * jnp.where(valid[:, None], rgbs, 0.0))
-    out = {"weights": weights, "weights_sum": weights_sum, "depth": depth,
-           "image": image}
-    if tau_in is not None:
-        out["tau_out"] = tau_in + seg.at[ray_id].add(sdelta)
+    rgb_m = jnp.where(valid[:, None], rgbs, 0.0)
+    if seg_mode == "scan":
+        ends = _segment_ends(offsets, m)
+        chan = jnp.concatenate(
+            [weights[:, None], (weights * ts)[:, None],
+             weights[:, None] * rgb_m], axis=1)           # [M, 5]
+        # Plain f32 cumsum, NOT the compensated scan: these channels are
+        # bounded (weights sum to <= 1 per ray), so the global prefix tops
+        # out near N and the boundary diff loses at most ~N ulp ≈ 2e-3
+        # absolute — invisible in an image. The compensated tuple scan on
+        # [M, 5] measured a 271 s (train) / >590 s (eval) XLA compile on
+        # TPU (scripts/probe_composite.py); sdelta above keeps it because
+        # optical depth is unbounded (prefix ~1e9) and the [M] scan
+        # compiles fine.
+        seg = _segment_sums(jnp.cumsum(chan, axis=0), None, offsets, ends)
+        weights_sum, depth, image = seg[:, 0], seg[:, 1], seg[:, 2:5]
+        out = {"weights": weights, "weights_sum": weights_sum,
+               "depth": depth, "image": image}
+        if tau_in is not None:
+            # Segment sdelta sums reuse the scan already computed for tau.
+            out["tau_out"] = tau_in + _segment_sums(
+                cum_hi, cum_lo, offsets, ends)
+    else:
+        seg0 = jnp.zeros((num_rays,), weights.dtype)
+        weights_sum = seg0.at[ray_id].add(weights)
+        depth = seg0.at[ray_id].add(weights * ts)
+        image = jnp.zeros((num_rays, 3), rgbs.dtype).at[ray_id].add(
+            weights[:, None] * rgb_m)
+        out = {"weights": weights, "weights_sum": weights_sum,
+               "depth": depth, "image": image}
+        if tau_in is not None:
+            out["tau_out"] = tau_in + seg0.at[ray_id].add(sdelta)
     return out

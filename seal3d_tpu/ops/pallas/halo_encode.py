@@ -44,7 +44,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_CK = 128  # one-hot chunk (rows per matmul slice)
+# One-hot chunk (rows per matmul slice). Separate fwd/bwd knobs so the
+# restructure probe (scripts/probe_halo_kernel.py) can A/B them on the real
+# chip; semantics are identical for any divisor of n_rows.
+_CK_FWD = 128
+_CK_BWD = 128
+# Statically unroll the level loop (Python range) instead of fori_loop —
+# lets Mosaic disambiguate the per-level gtab slices (the bwd RMW chain is
+# serialized when `l` is dynamic) at the cost of 16x kernel body size.
+_UNROLL_LEVELS = False
+
+
+def _level_loop(levels, body):
+    if _UNROLL_LEVELS:
+        for l in range(levels):
+            body(l, 0)
+    else:
+        jax.lax.fori_loop(0, levels, body, 0)
 
 
 def _interpret() -> bool:
@@ -180,7 +196,7 @@ def _trilinear_multihot(lane128, o, frac):
 
 
 def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
-    ck = min(_CK, n_rows)
+    ck = min(_CK_FWD, n_rows)
     n_chunks = n_rows // ck
     fw = f_dim * LANES
 
@@ -224,13 +240,13 @@ def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
                 out_ref[0, l * f_dim + f] = red[:, :, f]
             return 0
 
-        jax.lax.fori_loop(0, levels, level_body, 0)
+        _level_loop(levels, level_body)
 
     return kernel
 
 
 def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
-    ck = min(_CK, n_rows)
+    ck = min(_CK_BWD, n_rows)
     n_chunks = n_rows // ck
 
     def kernel(scale_ref, res_ref, x_ref, g_ref, gtab_ref):
@@ -275,7 +291,7 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
                 gtab_ref[l, pl.ds(k * ck, ck), :] = cur + upd
             return 0
 
-        jax.lax.fori_loop(0, levels, level_body, 0)
+        _level_loop(levels, level_body)
 
     return kernel
 

@@ -25,11 +25,32 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from seal3d_tpu.ops.bitfield import GRID_SIZE, bitfield_lookup
 from seal3d_tpu.ops.morton import morton3d
 
 SQRT3 = 1.7320508075688772
+
+# Static Morton->linear permutation for the 32^3 pooled occupancy view
+# (march_rays_flat_2level): MORT_OF_LIN[x*1024 + y*32 + z] = morton(x, y, z).
+# Built once with numpy so it constant-folds into the compiled program.
+def _mort_of_lin_32() -> np.ndarray:
+    def expand(v):
+        v = v.astype(np.uint32)
+        v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+        v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+        v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+        v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+        return v
+
+    x, y, z = np.meshgrid(np.arange(32), np.arange(32), np.arange(32),
+                          indexing="ij")
+    return (expand(x) | (expand(y) << 1) | (expand(z) << 2)).reshape(-1) \
+        .astype(np.int32)
+
+
+_MORT_OF_LIN_32 = _mort_of_lin_32()
 
 
 def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray, aabb: jnp.ndarray,
@@ -443,6 +464,229 @@ def compact_flat_gather(ts, dts, valid, rays_o, rays_d, k: int,
         xyzs=xyzs, dirs=rd, deltas=dts_f, ts=ts_f,
         ray_id=ray_id, valid=valid_f,
         offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0))
+
+
+def pooled_dilated32(bitfield: jnp.ndarray, cascades: int) -> jnp.ndarray:
+    """32^3 pooled + 3^3-dilated occupancy view, LINEAR (x-major) order.
+
+    Morton order is hierarchical: 8 consecutive bitfield bytes = 64 fine
+    cells = one 4^3 block = one 32^3 cell, so pooling is a reshape-max.
+    The 3^3 max-dilation makes the view CONSERVATIVE for group-midpoint
+    testing: any point within one pooled cell size (2*bound/32) of a query
+    point whose fine cell is occupied also lights the query's dilated bit
+    (see march_rays_flat_2level for the span arithmetic).
+
+    Returns [cascades * 32768] bool, linear cell order per cascade.
+    """
+    pooled = bitfield.reshape(cascades, 32768, 8).max(-1) > 0  # Morton 32^3
+    dense = jnp.take(pooled, jnp.asarray(_MORT_OF_LIN_32), axis=1)
+    dense = dense.reshape(cascades, 32, 32, 32)
+    d = jnp.pad(dense, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    d = jnp.maximum(jnp.maximum(d[:, :-2], d[:, 1:-1]), d[:, 2:])
+    d = jnp.maximum(jnp.maximum(d[:, :, :-2], d[:, :, 1:-1]), d[:, :, 2:])
+    d = jnp.maximum(jnp.maximum(d[..., :-2], d[..., 1:-1]), d[..., 2:])
+    return d.reshape(-1)
+
+
+def march_rays_flat_2level(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                           bitfield: jnp.ndarray, bound: float, cascades: int,
+                           max_steps: int, k: int, budget: int,
+                           num_candidates: int,
+                           perturb: jnp.ndarray | None = None,
+                           min_near: float = 0.05,
+                           aabb: jnp.ndarray | None = None,
+                           occ_stride: int = 4,
+                           coarse_steps: int = 0,
+                           group: int = 8,
+                           over: float = 1.5) -> MarchedRays:
+    """Two-level hierarchical flat march (uniform ladder, cascades == 1).
+
+    The single-level march pays its cost on the FULL candidate ladder: an
+    [N, C] bitfield gather, [N, C] rank cumsums, and an N*C-key packing sort
+    — at the render point (N=32k, C=256) that is 8.4M candidates of which
+    <10% survive. Here the ladder is tested and packed at GROUP granularity
+    first, and the fine bitfield only ever sees candidates whose group
+    survived:
+
+      level 1  C/`group` group midpoints per ray, tested against a pooled +
+               3^3-dilated 32^3 occupancy view (one [N, C/g] gather from a
+               32KB table, pooled_dilated32). Dilation makes the test
+               conservative: every member lies within (g-1)*dt_min <
+               2*bound/32 of its group midpoint (asserted below), so a group
+               containing ANY fine-occupied member always tests positive
+               (false positives possible, misses impossible — boundary
+               clamping included, since the clamp displacement is bounded by
+               the same span).
+      pack     kept groups -> `over`-provisioned static group budget via the
+               single-key sort of compact_flat_direct, at C/g the keys.
+      level 2  each packed group expands to its g members arithmetically
+               (ts = t0 + idx*dt); per-GROUP ray data is gathered once and
+               broadcast over members; the fine bitfield tests only these
+               budget_g*g candidates (strided like the single-level path).
+      repack   fine-valid members -> `budget` via a second single-key sort
+               (budget*over keys), so false-positive groups never reach the
+               field network and no pad slots eat budget (the failure mode
+               of march_rays_flat_grouped, PERFORMANCE.md round 2).
+
+    Semantics vs march_rays_flat: identical candidate ladder and fine
+    occupancy; over-budget rays subsample every stride-th valid GROUP
+    (deltas scaled by the stride) instead of every stride-th candidate —
+    the same whole-depth-coverage policy at group granularity. Same role as
+    the reference's mean_count pool (raymarching/raymarching.py:198-204);
+    the hierarchy plays the part of the reference's per-ray DDA mip walk
+    (raymarching.cu:390-399) within static shapes.
+
+    Constraints (caller gates): dt_gamma == 0, cascades == 1,
+    num_candidates % group == 0, and (group-1)*dt_min < 2*bound/32.
+    """
+    plan = group_plan(rays_o, rays_d, bitfield, bound=bound,
+                      cascades=cascades, max_steps=max_steps, k=k,
+                      num_candidates=num_candidates, group=group,
+                      perturb=perturb, min_near=min_near, aabb=aabb,
+                      coarse_steps=coarse_steps)
+    budget_g = max(-(-int(round(budget * over)) // (group * 16)) * 16, 16)
+    out = pack_groups_expand_fine(plan, plan.keep, 0, rays_o, rays_d,
+                                  bitfield, bound, cascades, group,
+                                  budget, budget_g, occ_stride)
+    return jax.tree.map(jax.lax.stop_gradient, out)
+
+
+class GroupPlan(NamedTuple):
+    """Level-1 result of the two-level march (see march_rays_flat_2level)."""
+
+    t0: jnp.ndarray      # [N] ladder start (near, perturbed)
+    fars: jnp.ndarray    # [N]
+    stride: jnp.ndarray  # [N] int32 per-ray group subsample stride
+    keep: jnp.ndarray    # [N, CG] bool kept-group mask
+    dt_min: float
+
+
+def group_plan(rays_o, rays_d, bitfield, bound: float, cascades: int,
+               max_steps: int, k: int, num_candidates: int, group: int = 8,
+               perturb: jnp.ndarray | None = None, min_near: float = 0.05,
+               aabb: jnp.ndarray | None = None,
+               coarse_steps: int = 0) -> GroupPlan:
+    """Level 1 of the two-level march: AABB clip + coarse tighten + group
+    midpoint test against the dilated pooled 32^3 view + per-ray group
+    stride subsample. Factored out so the transmittance-terminated renderer
+    can slice the kept-group mask into rounds (render.renderer)."""
+    g = group
+    n = rays_o.shape[0]
+    c = num_candidates
+    assert c % g == 0, "num_candidates must divide into groups"
+    cg = c // g
+    kg = max(k // g, 1)
+    dt_min = 2.0 * SQRT3 / max_steps
+    assert (g - 1) * dt_min < 2.0 * bound / 32.0, \
+        "group span exceeds the pooled cell; midpoint test not conservative"
+    assert cascades == 1, "two-level march is single-cascade (caller gates)"
+
+    if aabb is None:
+        aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
+                         jnp.float32)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
+    if coarse_steps > 0:
+        nears, fars = coarse_tighten(rays_o, rays_d, bitfield, nears, fars,
+                                     cascades, bound, n_steps=coarse_steps,
+                                     max_steps=max_steps)
+    t0 = nears
+    if perturb is not None:
+        t0 = t0 + perturb * dt_min
+
+    gi = jnp.arange(cg, dtype=jnp.float32)
+    tm = t0[:, None] + (gi * g + (g - 1) * 0.5)[None, :] * dt_min  # midpoints
+    xyz_m = rays_o[:, None, :] + tm[..., None] * rays_d[:, None, :]
+    cell = jnp.clip((xyz_m / bound * 0.5 + 0.5) * 32.0, 0.0, 31.0) \
+        .astype(jnp.int32)
+    lin = (cell[..., 0] * 32 + cell[..., 1]) * 32 + cell[..., 2]
+    pooled = pooled_dilated32(bitfield, cascades)
+    occ_g = jnp.take(pooled, lin)
+    t_first = t0[:, None] + (gi * g)[None, :] * dt_min
+    valid_g = occ_g & (t_first < fars[:, None])
+
+    # Per-ray group budget: over-kg rays keep every stride-th valid group.
+    rank = jnp.cumsum(valid_g.astype(jnp.int32), axis=1)
+    count = rank[:, -1:]
+    stride = jnp.maximum(jnp.ceil(count / kg).astype(jnp.int32), 1)[:, 0]
+    keep = valid_g & (((rank - 1) % stride[:, None]) == 0)
+    return GroupPlan(t0=t0, fars=fars, stride=stride, keep=keep,
+                     dt_min=dt_min)
+
+
+def pack_groups_expand_fine(plan: GroupPlan, keep: jnp.ndarray, col0: int,
+                            rays_o, rays_d, bitfield, bound: float,
+                            cascades: int, g: int, budget: int,
+                            budget_g: int, occ_stride: int) -> MarchedRays:
+    """Levels pack/2/repack of the two-level march for the group COLUMNS
+    [col0, col0 + keep.shape[1]) of the plan's ladder (the full ladder when
+    col0=0 and keep=plan.keep; a round slice in the terminated renderer).
+
+    keep may be further masked (e.g. by per-ray aliveness) but must be a
+    subset of plan.keep's columns."""
+    n, csg = keep.shape
+    mf = budget_g * g  # fine expansion length
+    counts_g = keep.sum(1).astype(jnp.int32)
+
+    # --- pack groups (single-key sort, see compact_flat_direct) ---
+    ncg = n * csg
+    idx = jnp.arange(ncg, dtype=jnp.int32)
+    skeys = jax.lax.sort(jnp.where(keep.reshape(-1), idx, idx + ncg))
+    selg = skeys[:budget_g]
+    kept_g = selg < ncg
+    selg = jnp.where(kept_g, selg, selg - ncg)
+    ray_g = (selg // csg).astype(jnp.int32)          # [BG]
+    gidx = (selg % csg).astype(jnp.int32) + col0     # global group index
+
+    # --- level 2: expand; ray data gathered per GROUP, broadcast over g ---
+    t0_g = jnp.take(plan.t0, ray_g)                  # [BG]
+    far_g = jnp.take(plan.fars, ray_g)
+    str_g = jnp.take(plan.stride, ray_g).astype(jnp.float32)
+    ro_g = jnp.take(rays_o, ray_g, axis=0)           # [BG, 3]
+    rd_g = jnp.take(rays_d, ray_g, axis=0)
+    j = jnp.arange(g, dtype=jnp.float32)
+    cand = gidx.astype(jnp.float32)[:, None] * g + j[None, :]   # [BG, g]
+    ts_2 = t0_g[:, None] + cand * plan.dt_min
+    xyz_2 = ro_g[:, None, :] + ts_2[..., None] * rd_g[:, None, :]
+    dts_2 = jnp.broadcast_to((plan.dt_min * str_g)[:, None], ts_2.shape)
+    if occ_stride > 1 and g % occ_stride == 0:
+        occ_f = occupancy_at(xyz_2[:, ::occ_stride], dts_2[:, ::occ_stride],
+                             bitfield, cascades, bound)
+        occ_f = jnp.repeat(occ_f, occ_stride, axis=1)
+    else:
+        occ_f = occupancy_at(xyz_2, dts_2, bitfield, cascades, bound)
+    valid_2 = (kept_g[:, None] & occ_f & (ts_2 < far_g[:, None])
+               & (jnp.abs(xyz_2).max(-1) <= bound))               # [BG, g]
+
+    # --- repack fine-valid members to the final budget ---
+    v2 = valid_2.reshape(-1)
+    idx2 = jnp.arange(mf, dtype=jnp.int32)
+    skeys2 = jax.lax.sort(jnp.where(v2, idx2, idx2 + mf))
+    sel2 = skeys2[:budget]
+    valid_f = sel2 < mf
+    sel2 = jnp.where(valid_f, sel2, sel2 - mf)
+    ray_id = jnp.take(ray_g, sel2 // g)
+    ts_f = jnp.take(ts_2.reshape(-1), sel2)
+    dts_f = jnp.take(dts_2.reshape(-1), sel2)
+    rd = jnp.take(rays_d, ray_id, axis=0)
+    xyzs = jnp.take(rays_o, ray_id, axis=0) + ts_f[:, None] * rd
+
+    # Per-ray fine counts via the cumsum-boundary trick: ray r's members
+    # occupy fine slots [gstart_r*g, gend_r*g) (group pack is ray-contiguous).
+    gstarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts_g)[:-1].astype(jnp.int32)])
+    fs = jnp.minimum(gstarts, budget_g) * g
+    fe = jnp.minimum(gstarts + counts_g, budget_g) * g
+    cum0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(v2.astype(jnp.int32)).astype(jnp.int32)])
+    counts = jnp.take(cum0, fe) - jnp.take(cum0, fs)              # [N]
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    kept = (jnp.minimum(offsets + counts, budget)
+            - jnp.minimum(offsets, budget))
+    return MarchedRays(
+        xyzs=xyzs, dirs=rd, deltas=dts_f, ts=ts_f,
+        ray_id=jnp.clip(ray_id, 0, n - 1), valid=valid_f,
+        offsets=jnp.minimum(offsets, budget), counts=jnp.maximum(kept, 0))
 
 
 def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,

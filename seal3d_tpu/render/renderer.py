@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from seal3d_tpu.ops.composite import composite_dense, composite_flat
-from seal3d_tpu.ops.raymarch import (compact_flat_direct, march_candidates,
-                                     march_rays, march_rays_flat,
+from seal3d_tpu.ops.raymarch import (SQRT3, compact_flat_direct,
+                                     march_candidates, march_rays,
+                                     march_rays_flat, march_rays_flat_2level,
                                      march_rays_flat_grouped, march_rays_grid,
                                      near_far_from_aabb, sph_from_ray)
 
@@ -103,6 +104,33 @@ class RenderOptions:
     # cheap) and costs ~0.6 dB at equal steps from group-boundary padding
     # slots eating budget (A/B in PERFORMANCE.md).
     group_compact: bool = False
+    # Two-level hierarchical march (ops.raymarch.march_rays_flat_2level):
+    # group midpoints tested against a pooled+dilated 32^3 view, only
+    # surviving groups reach the fine bitfield, packed by two small sorts
+    # instead of one N*C-key sort, and a fine repack keeps pad slots out of
+    # the budget (unlike group_compact). Applies on the flat path when
+    # dt_gamma == 0, cascades == 1 and shapes divide; ignored otherwise.
+    march_two_level: bool = False
+    # Group length (candidates) for the two-level march; must divide
+    # num_candidates, and (group-1)*dt_min must stay under a 32^3 cell.
+    tl_group: int = 8
+    # Fine-budget over-provisioning of the group pack (>= 1): the group
+    # budget holds over * budget / group groups, so false-positive groups
+    # do not displace real samples before the fine repack.
+    tl_over: float = 1.5
+    # Per-ray reduction mode of composite_flat: 'scatter' (exact; default,
+    # used for training where gradients flow through it) or 'scan'
+    # (cumsum + boundary gathers; ~1.5x faster composite on big inference
+    # chunks at ~2e-3 absolute error — set by the eval/render configs).
+    composite_seg: str = "scatter"
+
+    def two_level_ok(self, k: int) -> bool:
+        """Eligibility gate for the two-level march at this config."""
+        dt_min = 2.0 * SQRT3 / self.max_steps
+        return (self.march_two_level and self.dt_gamma == 0.0
+                and self.cascades == 1 and not self.span_adaptive
+                and self.num_candidates % self.tl_group == 0
+                and (self.tl_group - 1) * dt_min < 2.0 * self.bound / 32.0)
 
     @cached_property
     def cascades(self) -> int:
@@ -175,7 +203,74 @@ def _render_rounds(params, field, cfg, bitfield, rays_o, rays_d,
             sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
         sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
         o = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
-                           mf.offsets, mf.valid, n, tau_in=tau)
+                           mf.offsets, mf.valid, n, tau_in=tau,
+                           seg_mode=opts.composite_seg)
+        tau = o["tau_out"]
+        image = image + o["image"]
+        depth = depth + o["depth"]
+        wsum = wsum + o["weights_sum"]
+        num_samples = num_samples + mf.valid.sum()
+    return {"image": image, "depth": depth, "weights_sum": wsum}, num_samples
+
+
+def _render_rounds_2level(params, field, cfg, bitfield, rays_o, rays_d,
+                          opts: RenderOptions, jitter, aabb):
+    """Transmittance-terminated rounds on the two-level march.
+
+    Level 1 (group midpoints vs the dilated pooled 32^3 view,
+    ops.raymarch.group_plan) runs ONCE over the whole ladder; each round
+    then packs only the ALIVE kept groups of its column slice, expands
+    them, fine-tests just those members, and repacks the fine-valid ones
+    into its shrinking budget. Dead rays stop paying for the fine bitfield
+    AND the field network — the closest static-shape analog of the
+    reference's alive-list DDA (raymarching.cu:700-914,
+    nerf/renderer.py:341-367). Composite chaining is identical to
+    _render_rounds (tau_in/tau_out)."""
+    from seal3d_tpu.ops.raymarch import group_plan, pack_groups_expand_fine
+
+    n = rays_o.shape[0]
+    k = opts.budget_per_ray
+    rounds = opts.term_rounds
+    c = opts.num_candidates
+    g = opts.tl_group
+    cg = c // g
+    assert cg % rounds == 0, "group columns must divide into term_rounds"
+    csg = cg // rounds
+    fracs = opts.term_budget_fracs or round_budget_fracs(rounds)
+    assert len(fracs) == rounds
+    base = n * k * opts.flat_frac
+    tau_max = -math.log(opts.term_thresh)
+
+    plan = group_plan(rays_o, rays_d, bitfield, bound=opts.bound,
+                      cascades=opts.cascades, max_steps=opts.max_steps,
+                      k=k, num_candidates=c, group=g, perturb=jitter,
+                      min_near=opts.min_near, aabb=aabb,
+                      coarse_steps=opts.coarse_steps)
+
+    tau = jnp.zeros((n,), jnp.float32)
+    image = jnp.zeros((n, 3), jnp.float32)
+    depth = jnp.zeros((n,), jnp.float32)
+    wsum = jnp.zeros((n,), jnp.float32)
+    num_samples = jnp.zeros((), jnp.int32)
+    for r in range(rounds):
+        budget = max(int(round(base * fracs[r] / 128)) * 128, 128)
+        budget_g = max(-(-int(round(budget * opts.tl_over))
+                         // (g * 16)) * 16, 16)
+        alive = tau < tau_max
+        keep_r = plan.keep[:, r * csg:(r + 1) * csg] & alive[:, None]
+        mf = pack_groups_expand_fine(plan, keep_r, r * csg, rays_o, rays_d,
+                                     bitfield, opts.bound, opts.cascades, g,
+                                     budget, budget_g, opts.occ_stride)
+        mf = jax.tree.map(jax.lax.stop_gradient, mf)
+        try:
+            sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs,
+                                     valid=mf.valid)
+        except TypeError:
+            sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
+        sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
+        o = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
+                           mf.offsets, mf.valid, n, tau_in=tau,
+                           seg_mode=opts.composite_seg)
         tau = o["tau_out"]
         image = image + o["image"]
         depth = depth + o["depth"]
@@ -218,16 +313,32 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
         k = opts.budget_per_ray
         if (opts.term_rounds > 1 and opts.flat_frac is not None
                 and opts.flat_frac < 1.0):
-            out, num_samples = _render_rounds(params, field, cfg, bitfield,
-                                              rays_o, rays_d, opts, jitter,
-                                              aabb)
+            if (opts.two_level_ok(k)
+                    and (opts.num_candidates // opts.tl_group)
+                    % opts.term_rounds == 0):
+                out, num_samples = _render_rounds_2level(
+                    params, field, cfg, bitfield, rays_o, rays_d, opts,
+                    jitter, aabb)
+            else:
+                out, num_samples = _render_rounds(params, field, cfg,
+                                                  bitfield, rays_o, rays_d,
+                                                  opts, jitter, aabb)
         elif opts.flat_frac is not None and opts.flat_frac < 1.0:
             # March straight to the packed flat layout (one argsort; the
             # [N, K] grid and its top_k never exist) — the field runs on
             # `budget` real samples instead of all N*K grid slots.
             budget = max(int(round(n * k * opts.flat_frac / 128)) * 128, 128)
             s = opts.occ_stride
-            if (opts.group_compact and opts.dt_gamma == 0.0
+            if opts.two_level_ok(k):
+                mf = march_rays_flat_2level(
+                    rays_o, rays_d, bitfield,
+                    bound=opts.bound, cascades=opts.cascades,
+                    max_steps=opts.max_steps, k=k, budget=budget,
+                    num_candidates=opts.num_candidates, perturb=jitter,
+                    min_near=opts.min_near, aabb=aabb, occ_stride=s,
+                    coarse_steps=opts.coarse_steps, group=opts.tl_group,
+                    over=opts.tl_over)
+            elif (opts.group_compact and opts.dt_gamma == 0.0
                     and not opts.span_adaptive and s > 1
                     and opts.num_candidates % s == 0 and k % s == 0
                     and budget % s == 0):
@@ -257,7 +368,8 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
                 sigma, rgb = field.apply(params, cfg, mf.xyzs, mf.dirs)
             sigma = jnp.where(mf.valid, sigma * opts.density_scale, 0.0)
             out = composite_flat(sigma, rgb, mf.deltas, mf.ts, mf.ray_id,
-                                 mf.offsets, mf.valid, n)
+                                 mf.offsets, mf.valid, n,
+                                 seg_mode=opts.composite_seg)
             num_samples = mf.valid.sum()
         else:
             m = march_rays_grid(

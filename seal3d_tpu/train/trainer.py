@@ -328,7 +328,11 @@ class Trainer:
 
             eval_opts = dataclasses.replace(
                 opts, budget_per_ray=cfg.eval_budget_per_ray,
-                flat_frac=cfg.eval_flat_frac)
+                flat_frac=cfg.eval_flat_frac,
+                # inference-only chunks: the scan composite is ~1.5x faster
+                # at big M and its ~2e-3 prefix-rounding error is invisible
+                # in an image (ops/composite.py seg_mode)
+                composite_seg="scan")
             if self.use_dense:
                 return render_rays_dense(params, field, fcfg, rays_o, rays_d,
                                          eval_opts, key=key, bg_color=bg)

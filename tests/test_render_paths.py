@@ -4,6 +4,7 @@ the dense renderer's images on the analytic scene (SURVEY.md §4: the dense
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from seal3d_tpu.data.synthetic import SyntheticScene
@@ -498,3 +499,172 @@ def test_term_rounds_drops_saturated_samples():
     assert ns_t < 0.85 * ns_n, (ns_t, ns_n)
     np.testing.assert_allclose(np.asarray(out_t["image"]),
                                np.asarray(out_n["image"]), atol=2e-3)
+
+
+def test_two_level_march_matches_single_level_under_budget():
+    """march_rays_flat_2level must keep EXACTLY the single-level march's
+    valid samples when no ray is over budget: the dilated pooled midpoint
+    test is conservative (no group containing a fine-valid member is ever
+    dropped), the fine ladder/occupancy are identical (stride alignment:
+    g % occ_stride == 0 means both paths test the same candidates), and the
+    fine repack removes every false-positive group's members."""
+    from seal3d_tpu.ops.raymarch import march_rays_flat, march_rays_flat_2level
+
+    scene = SyntheticScene()
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
+                           bound=1.0, density_thresh=0.01, full=True)
+    ds = scene.make_dataset(n_views=1, h=16, w=16, seed=3)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    kw = dict(bound=1.0, cascades=1, max_steps=256, num_candidates=256,
+              min_near=0.05, occ_stride=4, coarse_steps=32)
+    k, budget = 256, 16384  # under budget everywhere (k == num_candidates)
+    ref = march_rays_flat(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                          k=k, budget=budget, dt_gamma=0.0, **kw)
+    # max_steps=256 -> dt_min too coarse for g=8 (gate rejects); g=4 fits
+    out = march_rays_flat_2level(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                                 k=k, budget=budget, group=4, over=1.5, **kw)
+    assert bool(out.valid.any())
+
+    def keyset(m):
+        v = np.asarray(m.valid)
+        rid = np.asarray(m.ray_id)[v]
+        tq = np.round(np.asarray(m.ts)[v] / (2 * 1.7320508 / 256) * 4)
+        dl = np.asarray(m.deltas)[v]
+        return sorted(zip(rid.tolist(), tq.tolist(), dl.tolist()))
+
+    assert keyset(out) == keyset(ref)
+    # packing invariants: ray-major, t ascending, offsets/counts consistent
+    v = np.asarray(out.valid)
+    rid = np.asarray(out.ray_id)
+    ts = np.asarray(out.ts)
+    kept_rid = rid[v]
+    assert (np.diff(kept_rid) >= 0).all()
+    same_ray = np.diff(kept_rid) == 0
+    assert (np.diff(ts[v])[same_ray] > 0).all()
+    offs = np.asarray(out.offsets)
+    counts = np.asarray(out.counts)
+    for r in np.unique(kept_rid)[:20]:
+        seg = np.where((rid == r) & v)[0]
+        assert seg.min() >= offs[r]
+        assert seg.max() < offs[r] + counts[r]
+
+
+def test_two_level_march_render_parity():
+    """End-to-end render with march_two_level on vs off: exact when under
+    budget; close when the per-ray k limit forces group-granular (vs
+    candidate-granular) stride subsampling."""
+    import dataclasses
+
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
+                           bound=1.0, density_thresh=0.01, full=True)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
+                         budget_per_ray=64, num_candidates=256, min_near=0.05,
+                         occ_stride=4, flat_frac=0.9, march_two_level=False,
+                         tl_group=4)
+    assert dataclasses.replace(base, march_two_level=True).two_level_ok(64)
+    out_ref = render_rays(None, _SceneField, scene, occ.bitfield,
+                          rays["rays_o"], rays["rays_d"], base, bg_color=1.0)
+    tl = dataclasses.replace(base, march_two_level=True)
+    out_tl = render_rays(None, _SceneField, scene, occ.bitfield,
+                         rays["rays_o"], rays["rays_d"], tl, bg_color=1.0)
+    d = np.abs(np.asarray(out_tl["image"]) - np.asarray(out_ref["image"]))
+    assert d.mean() < 1e-3, d.mean()
+    assert d.max() < 0.05, d.max()
+    # tight budget: group-stride subsampling differs by design; stay close
+    tight = dataclasses.replace(base, budget_per_ray=16, flat_frac=0.6)
+    out_t0 = render_rays(None, _SceneField, scene, occ.bitfield,
+                         rays["rays_o"], rays["rays_d"], tight, bg_color=1.0)
+    out_t1 = render_rays(None, _SceneField, scene, occ.bitfield,
+                         rays["rays_o"], rays["rays_d"],
+                         dataclasses.replace(tight, march_two_level=True),
+                         bg_color=1.0)
+    err = np.abs(np.asarray(out_t1["image"]) - np.asarray(out_t0["image"])).mean()
+    assert err < 0.05, err
+
+
+@pytest.mark.slow
+def test_two_level_march_is_conservative_superset_prepack():
+    """Every fine-valid candidate of the single-level march must appear in
+    the two-level output when k and budgets are unconstrained — the dilated
+    32^3 midpoint test may only ADD false-positive groups (removed by the
+    fine repack), never drop a fine-valid member."""
+    from seal3d_tpu.ops.raymarch import march_rays_flat, march_rays_flat_2level
+
+    scene = SyntheticScene()
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
+                           bound=1.0, density_thresh=10.0, full=True)
+    ds = scene.make_dataset(n_views=2, h=12, w=12, seed=11)
+    for view in range(2):
+        rays = get_full_rays(jnp.asarray(ds.poses[view]),
+                             jnp.asarray(ds.intrinsics), ds.h, ds.w)
+        kw = dict(bound=1.0, cascades=1, max_steps=512, num_candidates=512,
+                  min_near=0.05, occ_stride=2, coarse_steps=0)
+        k, budget = 512, 36864
+        ref = march_rays_flat(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                              k=k, budget=budget, dt_gamma=0.0, **kw)
+        out = march_rays_flat_2level(rays["rays_o"], rays["rays_d"],
+                                     occ.bitfield, k=k, budget=budget,
+                                     group=8, over=1.5, **kw)
+
+        def keyset(m):
+            v = np.asarray(m.valid)
+            rid = np.asarray(m.ray_id)[v]
+            tq = np.round(np.asarray(m.ts)[v] / (2 * 1.7320508 / 512) * 4)
+            return set(zip(rid.tolist(), tq.tolist()))
+
+        missing = keyset(ref) - keyset(out)
+        assert not missing, f"view {view}: {len(missing)} dropped samples"
+
+
+def test_term_rounds_2level_matches_plain_rounds():
+    """The two-level terminated renderer (_render_rounds_2level: per-round
+    group pack + fine repack) must agree with the candidate-level rounds
+    renderer AND with the single-round render at generous budgets — the
+    hierarchy and the round slicing change the schedule/packing, never the
+    sample stream semantics."""
+    import dataclasses
+
+    scene = SyntheticScene()
+    ds = scene.make_dataset(n_views=1, h=32, w=32, seed=7)
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
+                           bound=1.0, density_thresh=0.01, full=True)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                         budget_per_ray=64, num_candidates=256, min_near=0.05,
+                         occ_stride=4, coarse_steps=64, flat_frac=0.75,
+                         march_two_level=True, tl_group=8)
+    assert base.two_level_ok(64)
+    # Reference: single-round render on the SAME two-level plan (identical
+    # group-stride subsample), so the rounds machinery is pinned tightly.
+    single_tl = render_rays(None, _SceneField, scene, occ.bitfield,
+                            rays["rays_o"], rays["rays_d"], base)
+    # Candidate-level single render: over-k rays subsample at candidate
+    # (not group) granularity — a documented semantics delta, so loose.
+    single_cand = render_rays(
+        None, _SceneField, scene, occ.bitfield, rays["rays_o"],
+        rays["rays_d"], dataclasses.replace(base, march_two_level=False))
+    for rounds in (2, 4):
+        ropts = dataclasses.replace(
+            base, term_rounds=rounds,
+            term_budget_fracs=tuple([1.0 / rounds] * rounds))
+        out_tl = render_rays(None, _SceneField, scene, occ.bitfield,
+                             rays["rays_o"], rays["rays_d"], ropts)
+        err = np.abs(np.asarray(out_tl["image"])
+                     - np.asarray(single_tl["image"]))
+        # same sample stream, chained composite: only termination (weights
+        # < term_thresh) and round-budget clipping may perturb
+        assert err.mean() < 2e-4, (rounds, err.mean())
+        assert (err > 2e-2).mean() < 1e-3, rounds
+        err_c = np.abs(np.asarray(out_tl["image"])
+                       - np.asarray(single_cand["image"]))
+        assert err_c.mean() < 8e-3, (rounds, err_c.mean())
