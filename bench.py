@@ -100,6 +100,43 @@ def hard_capacity_ablation(steps=500):
     return out
 
 
+def wide_bound2_bench(steps=400):
+    """Multi-cascade (bound=2, cascades=2) training arm on the fox-shaped
+    WideSyntheticScene — pins that unbounded scenes keep empty-space
+    skipping + throughput (VERDICT r2 item 4: 'a bound=2 bench line').
+    Uses the reference fox recipe's marching shape: dt_gamma=1/128,
+    cone-stepped ladder (two-level march is single-cascade-only and
+    auto-disabled by its gate here)."""
+    from seal3d_tpu.data.synthetic import WideSyntheticScene
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.render.renderer import RenderOptions
+    from seal3d_tpu.train.trainer import TrainConfig, Trainer
+
+    ds = _cached_dataset(WideSyntheticScene(), ".bench_dataset_wide.npz",
+                         n_views=12, h=192, w=192)
+    fcfg = NGPConfig(bound=2.0, log2_hashmap_size=15, grid_backend="halo",
+                     gridtype="wrap")
+    opts = RenderOptions(bound=2.0, dt_gamma=1.0 / 128, max_steps=512,
+                         budget_per_ray=48, num_candidates=256,
+                         min_near=0.05, coarse_steps=64)
+    tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
+                       eval_chunk=2**15, eval_budget_per_ray=64,
+                       eval_flat_frac=0.5, random_bg=False,
+                       adaptive_budget=True)
+    tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(2))
+    tr.init_state()
+    tr.train(steps=48, silent=True, blocked=True)
+    _sync(tr.state.params)
+    t0 = time.time()
+    tr.train(steps=steps, silent=True, blocked=True, log_every=10**9)
+    _sync(tr.state.params)
+    rate = steps * tcfg.num_rays / (time.time() - t0)
+    psnr = tr.evaluate(max_views=1)
+    return {"wide_bound2_rays_per_sec": round(rate),
+            "wide_bound2_psnr": round(psnr, 2)}
+
+
 def main():
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.models import ngp
@@ -184,6 +221,7 @@ def main():
     del tr
 
     hard = hard_capacity_ablation()
+    wide = wide_bound2_bench()
 
     result = {
         "metric": "train_rays_per_sec",
@@ -200,6 +238,7 @@ def main():
             "dataset_gen_s": round(t_data, 1),
             "device": str(jax.devices()[0]),
             **hard,
+            **wide,
         },
     }
     print(json.dumps(result))

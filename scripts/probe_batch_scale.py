@@ -35,6 +35,9 @@ def main():
                          "budget pick the per-size operating point like the "
                          "production trainer does (ADVICE r2)")
     ap.add_argument("--coarse", type=int, default=64)
+    ap.add_argument("--two_level", action="store_true",
+                    help="A/B: enable the two-level hierarchical march "
+                         "(march_rays_flat_2level) in the train step")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=288,
                     help="settle steps before timing (the first ~250 steps "
@@ -59,7 +62,8 @@ def main():
                              budget_per_ray=args.budget,
                              num_candidates=args.candidates,
                              min_near=0.05, flat_frac=args.flat,
-                             coarse_steps=args.coarse)
+                             coarse_steps=args.coarse,
+                             march_two_level=args.two_level)
         tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=n,
                            random_bg=False,
                            adaptive_budget=args.flat is None)

@@ -68,7 +68,8 @@ def main():
     k = tcfg.eval_budget_per_ray
     frac = tcfg.eval_flat_frac
     budget = max(int(round(chunk * k * frac / 128)) * 128, 128)
-    eval_opts = dataclasses.replace(opts, budget_per_ray=k, flat_frac=frac)
+    eval_opts = dataclasses.replace(opts, budget_per_ray=k, flat_frac=frac,
+                                    composite_seg="scan")
 
     # A realistic eval chunk of rays from the first pose at 800x800 intrinsics
     from seal3d_tpu.data.rays import get_full_rays

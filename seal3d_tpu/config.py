@@ -114,12 +114,15 @@ def build_train_config(args, family: str = "ngp") -> TrainConfig:
         adaptive = bool(getattr(args, "O", False))
     eval_kw = {}
     if getattr(args, "O", False):
-        # Fast-path eval operating point (800x800 in ~7 s on one v5e chip):
-        # budget 48 + flat-packed 0.375 + 2^15-ray chunks is PSNR-par with
-        # budget 96 unpacked (37.50 vs 37.44 dB on the bench scene) and
-        # 1.8x faster. Tighter (0.25) collapses quality; see PERFORMANCE.md.
+        # Fast-path eval operating point (800x800 in ~1.8 s on one v5e
+        # chip, round 3): budget 48, two-level march (trainer render_eval
+        # defaults), scan composite, flat-packed 0.28 SAMPLE budget with the
+        # GROUP budget held at 2x (the two-level repack keeps every ray's
+        # samples, so the sample budget sits at real demand instead of
+        # padding for trailing-ray truncation). PSNR-par with the 0.375
+        # single-level point (scripts/probe_render_best.py, r3 matrix).
         eval_kw = dict(eval_chunk=2**15, eval_budget_per_ray=48,
-                       eval_flat_frac=0.375)
+                       eval_flat_frac=0.28)
         if family == "tensorf":
             # TensoRF-family fields materialize [M, rank] plane/line feature
             # stacks per sample — 2^15-ray eval chunks OOM HBM (seen on
