@@ -74,9 +74,14 @@ def run_arm(tag, two_level, over, steps=1216, timed=96, eval_cmp=False):
 
 
 def main():
-    run_arm("single", False, 1.5, eval_cmp=True)
-    run_arm("2l over=1.5", True, 1.5)
-    run_arm("2l over=2.0", True, 2.0)
+    import sys
+    arms = sys.argv[1:] or ["single", "o15", "o20"]
+    if "single" in arms:
+        run_arm("single", False, 1.5, eval_cmp=True)
+    if "o15" in arms:
+        run_arm("2l over=1.5", True, 1.5, eval_cmp=True)
+    if "o20" in arms:
+        run_arm("2l over=2.0", True, 2.0, eval_cmp=True)
 
 
 if __name__ == "__main__":

@@ -114,15 +114,14 @@ def build_train_config(args, family: str = "ngp") -> TrainConfig:
         adaptive = bool(getattr(args, "O", False))
     eval_kw = {}
     if getattr(args, "O", False):
-        # Fast-path eval operating point (800x800 in ~1.8 s on one v5e
-        # chip, round 3): budget 48, two-level march (trainer render_eval
-        # defaults), scan composite, flat-packed 0.28 SAMPLE budget with the
-        # GROUP budget held at 2x (the two-level repack keeps every ray's
-        # samples, so the sample budget sits at real demand instead of
-        # padding for trailing-ray truncation). PSNR-par with the 0.375
-        # single-level point (scripts/probe_render_best.py, r3 matrix).
+        # Fast-path eval operating point (round 3): budget 48, scan
+        # composite, single-level flat-packed 0.375 — the point whose PSNR
+        # is pinned across views (probe_eval_point.py: 35.6/41.3 dB).
+        # The faster two-level march (800x800 pose-0 1.8 s vs 3.0) is
+        # opt-in via TrainConfig.eval_two_level: it reads ~9 dB low on
+        # small val views of trained states (cause open, see trainer.py).
         eval_kw = dict(eval_chunk=2**15, eval_budget_per_ray=48,
-                       eval_flat_frac=0.28)
+                       eval_flat_frac=0.375)
         if family == "tensorf":
             # TensoRF-family fields materialize [M, rank] plane/line feature
             # stacks per sample — 2^15-ray eval chunks OOM HBM (seen on

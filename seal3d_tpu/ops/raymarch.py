@@ -622,15 +622,40 @@ def pack_groups_expand_fine(plan: GroupPlan, keep: jnp.ndarray, col0: int,
     col0=0 and keep=plan.keep; a round slice in the terminated renderer).
 
     keep may be further masked (e.g. by per-ray aliveness) but must be a
-    subset of plan.keep's columns."""
+    subset of plan.keep's columns.
+
+    GRACEFUL OVERFLOW: both static budgets (budget_g groups, budget fine
+    samples) historically truncated in slot order when demand exceeded
+    them, silently dropping ALL of the trailing rays' samples — the
+    catastrophic failure mode documented for flat packing (PERFORMANCE.md
+    round 2 'teacher proxy renders'; round 3 found it again when the -O
+    eval point moved the sample budget to real demand and a dense 256^2
+    val chunk overflowed it, 41.3 -> 26.2 dB). Here overflow instead keeps
+    evenly-spaced valid members (Bresenham subsample over the global valid
+    rank) and rescales each ray's deltas by its kept fraction, conserving
+    per-ray optical depth to first order — every ray degrades a little
+    instead of trailing rays losing everything. Under budget the spacing
+    clamps to 1 and the selection is bit-exact to the old behavior (the
+    parity tests pin this)."""
     n, csg = keep.shape
+    budget_g = min(budget_g, n * csg)  # can't pack more groups than exist
     mf = budget_g * g  # fine expansion length
-    counts_g = keep.sum(1).astype(jnp.int32)
+
+    # --- graceful group-budget overflow: evenly thin kept groups ---
+    keepf = keep.reshape(-1)
+    rg = jnp.cumsum(keepf.astype(jnp.int32))        # 1-indexed at kept slots
+    sg = jnp.maximum(rg[-1].astype(jnp.float32) / budget_g, 1.0)
+    keepf = keepf & ((rg.astype(jnp.float32) / sg).astype(jnp.int32)
+                     != ((rg - 1).astype(jnp.float32) / sg).astype(jnp.int32))
+    counts_g_all = keep.sum(1).astype(jnp.int32)
+    counts_g = keepf.reshape(n, csg).sum(1).astype(jnp.int32)
+    # per-ray optical-depth compensation for dropped groups
+    gscale = counts_g_all.astype(jnp.float32) / jnp.maximum(counts_g, 1)
 
     # --- pack groups (single-key sort, see compact_flat_direct) ---
     ncg = n * csg
     idx = jnp.arange(ncg, dtype=jnp.int32)
-    skeys = jax.lax.sort(jnp.where(keep.reshape(-1), idx, idx + ncg))
+    skeys = jax.lax.sort(jnp.where(keepf, idx, idx + ncg))
     selg = skeys[:budget_g]
     kept_g = selg < ncg
     selg = jnp.where(kept_g, selg, selg - ncg)
@@ -658,7 +683,14 @@ def pack_groups_expand_fine(plan: GroupPlan, keep: jnp.ndarray, col0: int,
                & (jnp.abs(xyz_2).max(-1) <= bound))               # [BG, g]
 
     # --- repack fine-valid members to the final budget ---
-    v2 = valid_2.reshape(-1)
+    # graceful fine-budget overflow: evenly thin the valid fine members
+    # (same Bresenham scheme as the group budget above); slot-order
+    # truncation at sel2 remains only as a +-1 rounding backstop.
+    v2_all = valid_2.reshape(-1)
+    r2 = jnp.cumsum(v2_all.astype(jnp.int32))
+    s2 = jnp.maximum(r2[-1].astype(jnp.float32) / budget, 1.0)
+    v2 = v2_all & ((r2.astype(jnp.float32) / s2).astype(jnp.int32)
+                   != ((r2 - 1).astype(jnp.float32) / s2).astype(jnp.int32))
     idx2 = jnp.arange(mf, dtype=jnp.int32)
     skeys2 = jax.lax.sort(jnp.where(v2, idx2, idx2 + mf))
     sel2 = skeys2[:budget]
@@ -683,6 +715,17 @@ def pack_groups_expand_fine(plan: GroupPlan, keep: jnp.ndarray, col0: int,
                                jnp.cumsum(counts)[:-1].astype(jnp.int32)])
     kept = (jnp.minimum(offsets + counts, budget)
             - jnp.minimum(offsets, budget))
+
+    # per-ray optical-depth compensation: scale deltas by the dropped
+    # fraction of each ray's (group thinning x fine thinning) members
+    cum_all = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(v2_all.astype(jnp.int32)).astype(jnp.int32)])
+    counts_all_f = jnp.take(cum_all, fe) - jnp.take(cum_all, fs)  # [N]
+    fscale = counts_all_f.astype(jnp.float32) / jnp.maximum(counts, 1)
+    dscale = gscale * fscale
+    dts_f = dts_f * jnp.take(dscale, jnp.clip(ray_id, 0, n - 1))
+
     return MarchedRays(
         xyzs=xyzs, dirs=rd, deltas=dts_f, ts=ts_f,
         ray_id=jnp.clip(ray_id, 0, n - 1), valid=valid_f,

@@ -53,13 +53,14 @@ class TrainConfig:
     eval_flat_frac: Optional[float] = None
     # Two-level hierarchical march for eval/full-image renders (applies only
     # where RenderOptions.two_level_ok holds — single-cascade uniform
-    # ladders). Measured r3: 800x800 1.82 s/frame vs 3.04 single-level at
-    # parity quality (scripts/probe_render_best.py). The group budget is
-    # decoupled from the (tighter) sample budget via eval_tl_over: the
-    # two-level repack keeps every ray's samples, so eval_flat_frac can sit
-    # at the real demand (~0.28) instead of padding for trailing-ray
-    # truncation (0.375).
-    eval_two_level: bool = True
+    # ladders). Measured r3: 800x800 pose-0 1.82 s/frame vs 3.04
+    # single-level at parity quality (scripts/probe_render_best.py) — but
+    # OFF by default: the same eval path reads ~9 dB LOW on 256^2/128^2 val
+    # views of a trained state (probe_eval_point.py r3: 26.8 vs 35.6 dB at
+    # identical f375 budgets; unchanged by the graceful-overflow repack fix,
+    # so the mechanism is NOT budget truncation and is still open). Opt in
+    # per-run only where parity has been measured for your view geometry.
+    eval_two_level: bool = False
     eval_tl_over: float = 2.0
     eval_coarse_steps: int = 32
     random_bg: bool = True

@@ -668,3 +668,57 @@ def test_term_rounds_2level_matches_plain_rounds():
         err_c = np.abs(np.asarray(out_tl["image"])
                        - np.asarray(single_cand["image"]))
         assert err_c.mean() < 8e-3, (rounds, err_c.mean())
+
+def test_two_level_overflow_degrades_gracefully():
+    """When demand exceeds the static budgets, pack_groups_expand_fine must
+    thin every ray's samples evenly (with delta rescale conserving per-ray
+    optical depth to first order) instead of wiping out all trailing rays —
+    the round-3 regression where a dense 256^2 val chunk overflowed the -O
+    eval budget and PSNR collapsed 41.3 -> 26.2 dB."""
+    from seal3d_tpu.ops.raymarch import march_rays_flat_2level
+
+    scene = SyntheticScene()
+    occ = occupancy_init(cascades=1)
+    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
+                           bound=1.0, density_thresh=0.01, full=True)
+    ds = scene.make_dataset(n_views=1, h=16, w=16, seed=13)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    kw = dict(bound=1.0, cascades=1, max_steps=512, num_candidates=512,
+              min_near=0.05, occ_stride=2, coarse_steps=0, group=8, over=1.5)
+    n = rays["rays_o"].shape[0]
+
+    ref = march_rays_flat_2level(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                                 k=512, budget=n * 512, **kw)
+    v = np.asarray(ref.valid)
+    rid = np.asarray(ref.ray_id)
+    ref_counts = np.bincount(rid[v], minlength=n)
+    ref_depth = np.bincount(rid[v], weights=np.asarray(ref.deltas)[v],
+                            minlength=n)
+    demand = int(v.sum())
+    assert demand > 2000  # scene must be dense enough to mean anything
+
+    budget = max(demand // 3 // 128 * 128, 128)  # ~3x over budget
+    out = march_rays_flat_2level(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                                 k=512, budget=budget, **kw)
+    vo = np.asarray(out.valid)
+    rido = np.asarray(out.ray_id)
+    out_counts = np.bincount(rido[vo], minlength=n)
+    out_depth = np.bincount(rido[vo], weights=np.asarray(out.deltas)[vo],
+                            minlength=n)
+    assert vo.sum() <= budget
+
+    # (a) no trailing-ray wipeout: rays late in slot order with real demand
+    # keep samples (slot-order truncation gave them exactly zero)
+    heavy = np.where(ref_counts >= 8)[0]
+    late_heavy = heavy[int(0.75 * heavy.size):]  # last quartile in slot order
+    assert late_heavy.size > 0
+    kept_frac = (out_counts[late_heavy] > 0).mean()
+    assert kept_frac > 0.9, kept_frac
+
+    # (b) per-ray optical depth conserved to first order by delta rescale
+    sel = ref_counts >= 8
+    ratio = out_depth[sel] / ref_depth[sel]
+    assert np.median(ratio) > 0.8, np.median(ratio)
+    assert np.median(ratio) < 1.25, np.median(ratio)
+    assert (ratio > 0.5).mean() > 0.95, (ratio > 0.5).mean()
