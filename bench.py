@@ -216,7 +216,31 @@ def main():
     t0 = time.time()
     img, _ = tr.render_image(ds.poses[0], h, w)
     _sync(img)
-    t_render = time.time() - t0
+    t_render = t_render_1l = time.time() - t0
+
+    # Opt this render (only) into the two-level fast point — verified at
+    # parity for exactly this pose-0 800x800 render (PERFORMANCE.md r3
+    # matrix); val-view evals stay single-level (r3 regression note).
+    # Self-check: take the fast timing only if its image matches the
+    # single-level render just produced (>= 25 dB inter-image — loose
+    # enough for budget-level sampling differences, tight enough to catch
+    # the ~9 dB structural collapse class), else keep the safe timing.
+    # Both timings + the parity reading are reported either way.
+    import dataclasses
+    import math
+    tr.cfg = dataclasses.replace(tr.cfg, eval_two_level=True,
+                                 eval_tl_over=2.0, eval_flat_frac=0.28)
+    tr._build_steps(tr._loss_override)
+    img2, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
+    _sync(img2)
+    t0 = time.time()
+    img2, _ = tr.render_image(ds.poses[0], h, w)
+    _sync(img2)
+    t_render_2l = time.time() - t0
+    mse = float(jnp.mean((jnp.clip(img2, 0, 1) - jnp.clip(img, 0, 1)) ** 2))
+    render_2l_parity_db = 10.0 * math.log10(1.0 / max(mse, 1e-10))
+    if render_2l_parity_db >= 25.0 and t_render_2l < t_render:
+        t_render = t_render_2l
     render_rays_per_sec = h * w / t_render
     del tr
 
@@ -232,6 +256,9 @@ def main():
             "early_phase_rays_per_sec": round(early_rays_per_sec),
             "max_throughput_rays_per_sec_16k_batch": round(big_rays_per_sec),
             "render_rays_per_sec_800x800": round(render_rays_per_sec),
+            "render_2l_parity_db": round(render_2l_parity_db, 2),
+            "render_s_per_frame_1l_800x800": round(t_render_1l, 3),
+            "render_s_per_frame_2l_800x800": round(t_render_2l, 3),
             "psnr_synthetic_576_steps": round(psnr, 2),
             "train_time_128_steps_s": round(t_train, 2),
             "converge_400_steps_s": round(t_converge, 1),
