@@ -50,7 +50,19 @@ def main():
                               eval_tl_over=1.5)),
         ("f28  2l o2.0", dict(eval_flat_frac=0.28, eval_two_level=True,
                               eval_tl_over=2.0)),
+        # The r3 regression isolator: the 2l eval branch also flips
+        # coarse_steps 64->32; if THIS arm reads ~35.5 (parity with 1l),
+        # the coarse-32 tighten is the culprit — set eval_coarse_steps=64
+        # and re-enable eval_two_level (see PERFORMANCE.md r3 note).
+        ("f375 2l c64", dict(eval_flat_frac=0.375, eval_two_level=True,
+                             eval_tl_over=2.0, eval_coarse_steps=64)),
+        # and the no-coarse control: plan-level tighten off entirely
+        ("f375 2l c0", dict(eval_flat_frac=0.375, eval_two_level=True,
+                            eval_tl_over=2.0, eval_coarse_steps=0)),
     ]
+    sel = sys.argv[1:]
+    if sel:
+        grid = [(t, kw) for t, kw in grid if any(s in t for s in sel)]
     for tag, kw in grid:
         tr.cfg = dataclasses.replace(tr.cfg, **kw)
         tr._build_steps(tr._loss_override)
