@@ -174,4 +174,13 @@ def grid_defaults(args):
             f"--grid_backend halo needs a cubic table (T = P^3, i.e. "
             f"log2_hashmap_size divisible by 3; got {log2}). Use 15 or 18, "
             f"or --grid_backend pallas (<= 2^16) / bucket (any size).")
+    if backend == "halo" and log2 > 18:
+        # VMEM feasibility (ops/pallas/halo_encode.check_halo_vmem_feasible):
+        # at 2^21 the forward's bf16 stored stack alone is ~0.5 GB and one
+        # level's f32 gradient window exceeds the backward budget.
+        raise SystemExit(
+            f"--grid_backend halo is VMEM-infeasible above 2^18 (got "
+            f"2^{log2}): the stored stack / per-level gradient windows "
+            f"exceed the chip's VMEM. Use --log2_hashmap_size 18 or "
+            f"--grid_backend bucket (reference capacity, any size).")
     return backend, log2, gridtype

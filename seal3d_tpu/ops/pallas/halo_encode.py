@@ -53,6 +53,44 @@ _CK_BWD = 128
 # lets Mosaic disambiguate the per-level gtab slices (the bwd RMW chain is
 # serialized when `l` is dynamic) at the cost of 16x kernel body size.
 _UNROLL_LEVELS = False
+# VMEM budget for the backward's f32 gradient-table window. The full table
+# is [L, n_rows, F*128] f32 — 16 MB at T=2^15 but 128 MB at T=2^18, over
+# the chip's VMEM (the round-3 bench crash). The backward grid therefore
+# blocks the LEVEL axis: grid=(L/lb, n_tiles) with i fastest, so each
+# lb-level window is zero-initialized at its first tile and accumulated
+# across all tiles before write-back (the Pallas revisited-output reduction
+# pattern). lb is the largest divisor of L whose window fits this budget;
+# at the -O point (T=2^15) lb = L and behavior is identical to round 3.
+_BWD_TABLE_BYTES = 48 * 1024 * 1024
+
+
+def _bwd_level_block(levels: int, n_rows: int, fw: int) -> int:
+    per_level = n_rows * fw * 4
+    lb = levels
+    while lb > 1 and lb * per_level > _BWD_TABLE_BYTES:
+        lb = next(d for d in range(lb - 1, 0, -1) if levels % d == 0)
+    return lb
+
+
+def check_halo_vmem_feasible(levels: int, n_rows: int, fw: int):
+    """Fail fast (clear message, not a Mosaic OOM) when a (T, F, L) combo
+    cannot fit the kernels' VMEM windows: the forward holds the full bf16
+    stored stack resident; the backward needs at least one level's f32
+    gradient window within budget. T=2^18 at dual-grid F=4 is the largest
+    feasible cubic size; 2^21 is not — use the 'bucket' backend there
+    (reference-capacity path, any T)."""
+    fwd_bytes = levels * n_rows * fw * 2
+    bwd_level_bytes = n_rows * fw * 4
+    limit = 80 * 1024 * 1024  # headroom under the 100 MB vmem_limit_bytes
+    if fwd_bytes > limit or bwd_level_bytes > _BWD_TABLE_BYTES:
+        raise ValueError(
+            f"halo backend VMEM-infeasible at T=P^3 with {n_rows} halo rows"
+            f" x {fw} feature lanes x {levels} levels: forward table window"
+            f" {fwd_bytes / 2**20:.0f} MB (limit {limit / 2**20:.0f}) /"
+            f" per-level backward window {bwd_level_bytes / 2**20:.0f} MB"
+            f" (limit {_BWD_TABLE_BYTES / 2**20:.0f}). Use"
+            f" log2_hashmap_size <= 18 or grid_backend='bucket' (exact"
+            f" reference-capacity path, any T).")
 
 
 def _level_loop(levels, body):
@@ -245,12 +283,17 @@ def _make_fwd_kernel(levels, f_dim, n_rows, period, smoothstep):
     return kernel
 
 
-def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
+def _make_bwd_kernel(lb, f_dim, n_rows, period, smoothstep):
+    """Backward kernel over a 2-D grid (level blocks, tiles). The gtab
+    window holds `lb` levels; the g window holds the matching feature
+    slice. Level indices into the SMEM scale/res tables are global
+    (j*lb + l); everything else is block-local."""
     ck = min(_CK_BWD, n_rows)
     n_chunks = n_rows // ck
 
     def kernel(scale_ref, res_ref, x_ref, g_ref, gtab_ref):
-        i = pl.program_id(0)
+        j = pl.program_id(0)
+        i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
@@ -263,7 +306,9 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
         lane128 = jax.lax.broadcasted_iota(jnp.int32, (ps, LANES, LANES), 2)
 
         def level_body(l, _):
-            row, o, frac = _sample_setup(xs, scale_ref[l], res_ref[l], period)
+            gl = j * lb + l
+            row, o, frac = _sample_setup(xs, scale_ref[gl], res_ref[gl],
+                                         period)
             if smoothstep:
                 frac = [f * f * (3.0 - 2.0 * f) for f in frac]
             # Chunk-skipping was tried TWICE here (dynamic [kmin,kmax)
@@ -291,7 +336,7 @@ def _make_bwd_kernel(levels, f_dim, n_rows, period, smoothstep):
                 gtab_ref[l, pl.ds(k * ck, ck), :] = cur + upd
             return 0
 
-        _level_loop(levels, level_body)
+        _level_loop(lb, level_body)
 
     return kernel
 
@@ -338,36 +383,43 @@ def halo_encode_fused(stored, x, valid, cfg, tile: int = 1024):
 
 
 def _fwd_impl(stored, x, valid, cfg, tile):
-    levels, n_rows, fw = stored.shape
+    scales, resolutions = _level_consts(cfg)
+    return _fwd_impl_arrs(stored, x, valid, jnp.asarray(scales),
+                          jnp.asarray(resolutions), cfg, tile)
+
+
+def _bwd_impl(shape, x, valid, scales, resolutions, g, cfg, tile):
+    """Shared backward: scatter output-feature cotangents into the stored
+    stack's gradient. Blocks the gradient table over level groups (see
+    _BWD_TABLE_BYTES) so the VMEM output window never exceeds budget at
+    reference-scale tables (T=2^18; gridencoder.cu:245-337 supports any T)."""
+    levels, n_rows, fw = shape
     f_dim = fw // LANES
     t = 2**cfg.log2_hashmap_size
     period = round(t ** (1 / 3))
-    m = x.shape[0]
-    x4, n_tiles, ps, _ = _prep_x(x, valid, tile)
-    scales, resolutions = _level_consts(cfg)
-    kernel = _make_fwd_kernel(levels, f_dim, n_rows, period,
+    x4, n_tiles, ps, pad = _prep_x(x, valid, tile)
+    g_p = jnp.pad(g, ((0, pad), (0, 0)))
+    g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
+    lb = _bwd_level_block(levels, n_rows, fw)
+    kernel = _make_bwd_kernel(lb, f_dim, n_rows, period,
                               cfg.interpolation == "smoothstep")
-    out = pl.pallas_call(
+    gtab = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(levels // lb, n_tiles),
         in_specs=_smem_specs(2) + [
-            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 4, ps, LANES), lambda j, i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lb * f_dim, ps, LANES),
+                         lambda j, i: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, levels * f_dim, ps, LANES),
-                               lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((lb, n_rows, fw), lambda j, i: (j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, levels * f_dim, ps, LANES),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((levels, n_rows, fw), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(jnp.asarray(scales), jnp.asarray(resolutions), x4,
-      stored.astype(jnp.bfloat16))
-    out = out.transpose(0, 2, 3, 1).reshape(n_tiles * tile, levels * f_dim)
-    return out[:m]
+    )(scales, resolutions, x4, g4)
+    return gtab
 
 
 def _fwd(stored, x, valid, cfg, tile):
@@ -375,32 +427,10 @@ def _fwd(stored, x, valid, cfg, tile):
 
 
 def _bwd(cfg, tile, res, g):
-    (levels, n_rows, fw), x, valid = res
-    f_dim = fw // LANES
-    t = 2**cfg.log2_hashmap_size
-    period = round(t ** (1 / 3))
-    x4, n_tiles, ps, pad = _prep_x(x, valid, tile)
-    g_p = jnp.pad(g, ((0, pad), (0, 0)))
-    g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
+    shape, x, valid = res
     scales, resolutions = _level_consts(cfg)
-    kernel = _make_bwd_kernel(levels, f_dim, n_rows, period,
-                              cfg.interpolation == "smoothstep")
-    gtab = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=_smem_specs(2) + [
-            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, levels * f_dim, ps, LANES),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((levels, n_rows, fw), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(jnp.asarray(scales), jnp.asarray(resolutions), x4, g4)
+    gtab = _bwd_impl(shape, x, valid, jnp.asarray(scales),
+                     jnp.asarray(resolutions), g, cfg, tile)
     return gtab, None, None
 
 
@@ -420,6 +450,7 @@ def _halo_encode_arrs(stored, x, valid, scales, resolutions, cfg, tile=1024):
 
 def _fwd_impl_arrs(stored, x, valid, scales, resolutions, cfg, tile):
     levels, n_rows, fw = stored.shape
+    check_halo_vmem_feasible(levels, n_rows, fw)
     f_dim = fw // LANES
     t = 2**cfg.log2_hashmap_size
     period = round(t ** (1 / 3))
@@ -455,31 +486,8 @@ def _fwd_arrs(stored, x, valid, scales, resolutions, cfg, tile):
 
 
 def _bwd_arrs(cfg, tile, res, g):
-    (levels, n_rows, fw), x, valid, scales, resolutions = res
-    f_dim = fw // LANES
-    t = 2**cfg.log2_hashmap_size
-    period = round(t ** (1 / 3))
-    x4, n_tiles, ps, pad = _prep_x(x, valid, tile)
-    g_p = jnp.pad(g, ((0, pad), (0, 0)))
-    g4 = g_p.reshape(n_tiles, ps, LANES, levels * f_dim).transpose(0, 3, 1, 2)
-    kernel = _make_bwd_kernel(levels, f_dim, n_rows, period,
-                              cfg.interpolation == "smoothstep")
-    gtab = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=_smem_specs(2) + [
-            pl.BlockSpec((1, 4, ps, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, levels * f_dim, ps, LANES),
-                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((levels, n_rows, fw), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((levels, n_rows, fw), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=_interpret(),
-    )(scales, resolutions, x4, g4)
+    shape, x, valid, scales, resolutions = res
+    gtab = _bwd_impl(shape, x, valid, scales, resolutions, g, cfg, tile)
     return gtab, None, None, None, None
 
 
@@ -507,6 +515,17 @@ def halo_encode_sharded(master: jnp.ndarray, x: jnp.ndarray, valid, cfg,
     t = 2**cfg.log2_hashmap_size
     f_dim = master.shape[-1]
     levels = master.shape[0] // t
+    # Fail here with a readable message — a mismatched mesh otherwise dies
+    # deep inside shard_map/pallas (check_vma=False) with an opaque error.
+    n_model, n_data = mesh.shape["model"], mesh.shape["data"]
+    if levels % n_model != 0:
+        raise ValueError(
+            f"halo_encode_sharded: num_levels={levels} must divide the "
+            f"mesh 'model' axis (size {n_model}) for level sharding.")
+    if x.shape[0] % n_data != 0:
+        raise ValueError(
+            f"halo_encode_sharded: batch {x.shape[0]} must divide the "
+            f"mesh 'data' axis (size {n_data}).")
     scales, resolutions = _level_consts(cfg)
     vf = (jnp.ones((x.shape[0],), jnp.bool_) if valid is None else valid)
 

@@ -311,8 +311,13 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
         jitter = jax.random.uniform(key, (n,))
     if opts.compaction == "topk":
         k = opts.budget_per_ray
+        # term_rounds eligibility includes the column-divisibility the round
+        # slicing needs; like the other gates (two_level_ok), an ineligible
+        # config falls back to the single-round flat path instead of
+        # trace-time assert-failing (ADVICE r3 item 4).
         if (opts.term_rounds > 1 and opts.flat_frac is not None
-                and opts.flat_frac < 1.0):
+                and opts.flat_frac < 1.0
+                and opts.num_candidates % opts.term_rounds == 0):
             if (opts.two_level_ok(k)
                     and (opts.num_candidates // opts.tl_group)
                     % opts.term_rounds == 0):

@@ -388,8 +388,12 @@ class SealTrainer(Trainer):
                 epoch_body, (params, pre_opt_state, ema), None, length=n_epochs)
             return params, pre_opt_state, ema, losses
 
+        # Donate only the opt state: params/ema are read straight out of
+        # self.state at the call site, and a raise mid-call (retrace OOM,
+        # bad shapes) would otherwise leave the trainer holding donated
+        # (invalidated) param buffers (ADVICE r3 item 3).
         self._pretrain_block = jax.jit(pretrain_block, static_argnums=(4,),
-                                       donate_argnums=(0, 1, 2))
+                                       donate_argnums=(1,))
 
     # ----------------------------------------------------------- stage drivers
 

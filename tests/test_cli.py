@@ -152,3 +152,28 @@ def test_all_parsers_build():
     p = add_seal_args(common_parser("x"))
     args = p.parse_args(["synthetic", "--seal_config", "cfg", "-O"])
     assert args.O and args.seal_config == "cfg"
+
+
+def test_halo_capacity_guards():
+    """No user config may reach the halo kernels with a VMEM-infeasible
+    (T, F, L): grid_defaults fails fast above 2^18, and the kernel-level
+    guard raises a clear ValueError (not a Mosaic OOM) at 2^21 shapes while
+    passing the fixed 2^18 point (round-3 crash class, VERDICT r3 item 8)."""
+    import pytest
+
+    from seal3d_tpu.config import common_parser, grid_defaults
+    from seal3d_tpu.ops.pallas.halo_encode import check_halo_vmem_feasible
+
+    p = common_parser("x")
+    args = p.parse_args(["synthetic", "--grid_backend", "halo",
+                         "--log2_hashmap_size", "21"])
+    with pytest.raises(SystemExit):
+        grid_defaults(args)
+    args18 = p.parse_args(["synthetic", "--grid_backend", "halo",
+                           "--log2_hashmap_size", "18"])
+    assert grid_defaults(args18)[1] == 18
+
+    # kernel-level guard: (levels, n_rows=T/64, fw=F*128) at dual-grid F=4
+    check_halo_vmem_feasible(16, 2**18 // 64, 512)  # 2^18: feasible
+    with pytest.raises(ValueError, match="bucket"):
+        check_halo_vmem_feasible(16, 2**21 // 64, 512)  # 2^21: not

@@ -191,6 +191,39 @@ def test_compact_and_flat_composite_match_dense():
     np.testing.assert_allclose(out_flat["depth"], out_dense["depth"], rtol=1e-4, atol=1e-5)
 
 
+def test_composite_flat_scan_matches_scatter():
+    """seg_mode='scan' (eval default, trainer.py render_eval) must agree
+    with the exact 'scatter' reduction to prefix-rounding tolerance —
+    including tau_in/tau_out round chaining and an over-budget buffer whose
+    tail slots are invalid pads (ADVICE r3 item 1: the scan path previously
+    had no fast-lane unit coverage)."""
+    rng = np.random.default_rng(11)
+    n, t = 32, 24
+    rays_o = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    ts = jnp.asarray(np.sort(rng.uniform(0.1, 3.0, (n, t)), axis=1)
+                     .astype(np.float32))
+    dts = jnp.asarray(rng.uniform(0.01, 0.05, (n, t)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=(n, t)) > 0.3)
+    # over-provisioned budget -> invalid tail pads beyond the packed samples
+    budget = int(np.asarray(valid).sum()) + 40
+    marched = compact_samples(ts, dts, valid, rays_o, rays_d, budget)
+    sig = (2.0 + jnp.sin(marched.xyzs.sum(-1))) * marched.valid
+    rgb = jax.nn.sigmoid(marched.xyzs)
+    tau_in = jnp.asarray(rng.uniform(0, 2, (n,)).astype(np.float32))
+
+    args = (sig, rgb, marched.deltas, marched.ts, marched.ray_id,
+            marched.offsets, marched.valid, n)
+    for ti in (None, tau_in):
+        o_scat = composite_flat(*args, tau_in=ti, seg_mode="scatter")
+        o_scan = composite_flat(*args, tau_in=ti, seg_mode="scan")
+        for k in o_scat:
+            np.testing.assert_allclose(
+                np.asarray(o_scan[k]), np.asarray(o_scat[k]),
+                rtol=1e-3, atol=3e-3, err_msg=f"channel {k} tau={ti is not None}")
+    assert "tau_out" in composite_flat(*args, tau_in=tau_in, seg_mode="scan")
+
+
 def test_march_rays_hits_occupied_region():
     """March through a bitfield with one occupied octant; samples must land there."""
     from seal3d_tpu.ops.bitfield import GRID_CELLS
@@ -401,6 +434,31 @@ def test_hashgrid_halo_valid_mask_skip():
     np.testing.assert_allclose(np.asarray(masked_t)[:180],
                                np.asarray(full)[:180], rtol=1e-6, atol=1e-6)
     assert np.abs(np.asarray(masked_t)[180:]).max() == 0.0
+
+
+def test_hashgrid_halo_bwd_level_blocked_parity(monkeypatch):
+    """The backward's level-blocked gradient-table grid (the T=2^18 VMEM
+    fix, round-4: halo_encode._BWD_TABLE_BYTES) must be bit-equivalent to
+    the single-window path. Force lb=1 (4 level blocks) by shrinking the
+    budget and compare table gradients against the default."""
+    from seal3d_tpu.ops.pallas import halo_encode
+
+    cfg = HashGridConfig(log2_hashmap_size=12, num_levels=4,
+                         desired_resolution=256, gridtype="wrap",
+                         backend="halo")
+    tab = hashgrid_init(jax.random.PRNGKey(0), cfg, std=0.5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (300, 3))
+
+    def table_grad():
+        return jax.grad(
+            lambda t: (hashgrid_encode(t, x, cfg) ** 2).sum())(tab)
+
+    assert halo_encode._bwd_level_block(4, 64, 2 * 128) == 4
+    g_full = table_grad()
+    monkeypatch.setattr(halo_encode, "_BWD_TABLE_BYTES", 64 * 2 * 128 * 4)
+    assert halo_encode._bwd_level_block(4, 64, 2 * 128) == 1
+    g_blocked = table_grad()
+    np.testing.assert_array_equal(np.asarray(g_full), np.asarray(g_blocked))
 
 
 def test_hashgrid_tv_loss():
