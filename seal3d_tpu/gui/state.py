@@ -318,9 +318,11 @@ class SealController:
 
     # ----------------------------------------------------------- edit cycle
     def start_edit(self, config: dict, pretrain_epochs: int = 1,
-                   pretrain_batch: int = 2**15):
+                   pretrain_batch: int = 2**15, **pretrain_kw):
         """Build mapper + student trainer and enter TRAIN (reference 'start'
-        button, SealNeRF/gui.py:453-505)."""
+        button, SealNeRF/gui.py:453-505). Extra kwargs override
+        PretrainConfig fields (e.g. coarser point steps for a faster
+        interactive preview)."""
         from seal3d_tpu.seal.mappers import build_mapper
         from seal3d_tpu.seal.trainer import PretrainConfig, SealTrainer
 
@@ -332,7 +334,8 @@ class SealController:
             dataset=self.dataset, name="gui_student")
         self.student.init_state()
         self.student.init_pretraining(
-            PretrainConfig(epochs=pretrain_epochs, batch_size=pretrain_batch))
+            PretrainConfig(epochs=pretrain_epochs, batch_size=pretrain_batch,
+                           **pretrain_kw))
         self.session.state = ToolState.TRAIN
         self.show_student = True
         import time as _time

@@ -32,10 +32,10 @@ from seal3d_tpu.ops.morton import morton3d
 
 SQRT3 = 1.7320508075688772
 
-# Static Morton->linear permutation for the 32^3 pooled occupancy view
-# (march_rays_flat_2level): MORT_OF_LIN[x*1024 + y*32 + z] = morton(x, y, z).
+# Static Morton->linear permutation for the pooled occupancy views
+# (march_rays_flat_2level): MORT_OF_LIN[x*res^2 + y*res + z] = morton(x,y,z).
 # Built once with numpy so it constant-folds into the compiled program.
-def _mort_of_lin_32() -> np.ndarray:
+def _mort_of_lin(res: int) -> np.ndarray:
     def expand(v):
         v = v.astype(np.uint32)
         v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
@@ -44,13 +44,13 @@ def _mort_of_lin_32() -> np.ndarray:
         v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
         return v
 
-    x, y, z = np.meshgrid(np.arange(32), np.arange(32), np.arange(32),
+    x, y, z = np.meshgrid(np.arange(res), np.arange(res), np.arange(res),
                           indexing="ij")
     return (expand(x) | (expand(y) << 1) | (expand(z) << 2)).reshape(-1) \
         .astype(np.int32)
 
 
-_MORT_OF_LIN_32 = _mort_of_lin_32()
+_MORT_OF_LIN = {32: _mort_of_lin(32), 64: _mort_of_lin(64)}
 
 
 def near_far_from_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray, aabb: jnp.ndarray,
@@ -385,6 +385,24 @@ def compact_flat_direct(ts, dts, valid, rays_o, rays_d, k: int,
     dts = dts * stride.astype(dts.dtype)
     nc = n * c
     flat_keep = keep.reshape(-1)
+    # GRACEFUL global-budget overflow (round 4, ported from
+    # pack_groups_expand_fine): when total kept demand exceeds the static
+    # budget, keep evenly-spaced samples over the global kept rank
+    # (Bresenham) and rescale each ray's deltas by its dropped fraction —
+    # every ray degrades a little instead of trailing rays losing ALL
+    # samples (the catastrophic mode documented in PERFORMANCE.md round 2
+    # 'teacher proxy renders'). Under budget the spacing clamps to 1 and
+    # the selection is bit-exact to the old behavior.
+    rg = jnp.cumsum(flat_keep.astype(jnp.int32))
+    sg = jnp.maximum(rg[-1].astype(jnp.float32) / budget, 1.0)
+    flat_keep = flat_keep & (
+        (rg.astype(jnp.float32) / sg).astype(jnp.int32)
+        != ((rg - 1).astype(jnp.float32) / sg).astype(jnp.int32))
+    keep2 = flat_keep.reshape(n, c)
+    counts_all = keep.sum(1).astype(jnp.int32)
+    counts_kept = keep2.sum(1).astype(jnp.int32)
+    oscale = counts_all.astype(jnp.float32) / jnp.maximum(counts_kept, 1)
+    keep = keep2
     idx = jnp.arange(nc, dtype=jnp.int32)
     # Single-array sort: the key IS the flat index (offset by nc when
     # dropped), so sorting keys alone recovers the selection order —
@@ -397,6 +415,7 @@ def compact_flat_direct(ts, dts, valid, rays_o, rays_d, k: int,
     ts_f = jnp.take(ts.reshape(-1), sel)
     dts_f = jnp.take(dts.reshape(-1), sel)
     ray_id = (sel // c).astype(jnp.int32)
+    dts_f = dts_f * jnp.take(oscale, jnp.clip(ray_id, 0, n - 1))
     ro = jnp.take(rays_o, ray_id, axis=0)
     rd = jnp.take(rays_d, ray_id, axis=0)
     xyzs = ro + ts_f[:, None] * rd
@@ -425,6 +444,7 @@ def compact_flat_gather(ts, dts, valid, rays_o, rays_d, k: int,
     Cost is ~budget*C compare-lanes + one [budget, C] row gather — both an
     order of magnitude below the sort at budget << N*C. Semantics are
     bit-identical to compact_flat_direct (same stride subsample, same
+    graceful global-overflow thinning over the same global kept rank, same
     packing; parity-tested)."""
     n, c = ts.shape
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
@@ -432,8 +452,22 @@ def compact_flat_gather(ts, dts, valid, rays_o, rays_d, k: int,
     stride = jnp.maximum(jnp.ceil(count / k).astype(jnp.int32), 1)
     keep = valid & (((rank - 1) % stride) == 0)
     dts = dts * stride.astype(dts.dtype)
+    # graceful global-budget overflow — the row-major global kept rank
+    # equals compact_flat_direct's flat cumsum, so the Bresenham selection
+    # is identical
+    krank0 = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    counts_all = krank0[:, -1]
+    starts0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(counts_all)[:-1].astype(jnp.int32)])
+    gr = starts0[:, None] + krank0                          # 1-indexed global
+    total = (starts0[-1] + counts_all[-1]).astype(jnp.float32)
+    sg = jnp.maximum(total / budget, 1.0)
+    keep = keep & ((gr.astype(jnp.float32) / sg).astype(jnp.int32)
+                   != ((gr - 1).astype(jnp.float32) / sg).astype(jnp.int32))
     krank = jnp.cumsum(keep.astype(jnp.int32), axis=1)      # [N, C]
     counts = krank[:, -1]
+    oscale = counts_all.astype(jnp.float32) / jnp.maximum(counts, 1)
+    dts = dts * oscale[:, None]
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(counts)[:-1].astype(jnp.int32)])
     m = jnp.arange(budget, dtype=jnp.int32)
@@ -466,26 +500,41 @@ def compact_flat_gather(ts, dts, valid, rays_o, rays_d, k: int,
         offsets=jnp.minimum(starts, budget), counts=jnp.maximum(kept, 0))
 
 
-def pooled_dilated32(bitfield: jnp.ndarray, cascades: int) -> jnp.ndarray:
-    """32^3 pooled + 3^3-dilated occupancy view, LINEAR (x-major) order.
+def pooled_dilated(bitfield: jnp.ndarray, cascades: int,
+                   pool: int = 32) -> jnp.ndarray:
+    """pool^3 pooled + 3^3-dilated occupancy view, LINEAR (x-major) order.
 
     Morton order is hierarchical: 8 consecutive bitfield bytes = 64 fine
-    cells = one 4^3 block = one 32^3 cell, so pooling is a reshape-max.
-    The 3^3 max-dilation makes the view CONSERVATIVE for group-midpoint
-    testing: any point within one pooled cell size (2*bound/32) of a query
-    point whose fine cell is occupied also lights the query's dilated bit
-    (see march_rays_flat_2level for the span arithmetic).
+    cells = one 4^3 block = one 32^3 cell (pool=32: reshape-max over 8
+    bytes), and ONE byte = 8 fine cells = one 2^3 block = one 64^3 cell
+    (pool=64: just byte != 0). The 3^3 max-dilation makes the view
+    CONSERVATIVE for group-midpoint testing: any point within one pooled
+    cell size (2*bound/pool) of a query point whose fine cell is occupied
+    also lights the query's dilated bit (see march_rays_flat_2level for the
+    span arithmetic). pool=64 halves the dilated slab thickness around
+    surfaces (3 cells = 0.094*bound vs 0.1875), which is what keeps the
+    level-1 group demand near the FINE-valid demand instead of ~2x it —
+    the round-3 val-view eval regression was group-level thinning of the
+    too-fat 32^3 view (PERFORMANCE.md round 4).
 
-    Returns [cascades * 32768] bool, linear cell order per cascade.
+    Returns [cascades * pool^3] bool, linear cell order per cascade.
     """
-    pooled = bitfield.reshape(cascades, 32768, 8).max(-1) > 0  # Morton 32^3
-    dense = jnp.take(pooled, jnp.asarray(_MORT_OF_LIN_32), axis=1)
-    dense = dense.reshape(cascades, 32, 32, 32)
+    assert pool in (32, 64), "pooled views exist at 32^3 and 64^3"
+    if pool == 64:
+        pooled = bitfield.reshape(cascades, 64 * 64 * 64) > 0  # Morton 64^3
+    else:
+        pooled = bitfield.reshape(cascades, 32768, 8).max(-1) > 0
+    dense = jnp.take(pooled, jnp.asarray(_MORT_OF_LIN[pool]), axis=1)
+    dense = dense.reshape(cascades, pool, pool, pool)
     d = jnp.pad(dense, ((0, 0), (1, 1), (1, 1), (1, 1)))
     d = jnp.maximum(jnp.maximum(d[:, :-2], d[:, 1:-1]), d[:, 2:])
     d = jnp.maximum(jnp.maximum(d[:, :, :-2], d[:, :, 1:-1]), d[:, :, 2:])
     d = jnp.maximum(jnp.maximum(d[..., :-2], d[..., 1:-1]), d[..., 2:])
     return d.reshape(-1)
+
+
+def pooled_dilated32(bitfield: jnp.ndarray, cascades: int) -> jnp.ndarray:
+    return pooled_dilated(bitfield, cascades, 32)
 
 
 def march_rays_flat_2level(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -498,7 +547,9 @@ def march_rays_flat_2level(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                            occ_stride: int = 4,
                            coarse_steps: int = 0,
                            group: int = 8,
-                           over: float = 1.5) -> MarchedRays:
+                           over: float = 1.5,
+                           kg: int = 0,
+                           pool: int = 32) -> MarchedRays:
     """Two-level hierarchical flat march (uniform ladder, cascades == 1).
 
     The single-level march pays its cost on the FULL candidate ladder: an
@@ -543,7 +594,7 @@ def march_rays_flat_2level(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                       cascades=cascades, max_steps=max_steps, k=k,
                       num_candidates=num_candidates, group=group,
                       perturb=perturb, min_near=min_near, aabb=aabb,
-                      coarse_steps=coarse_steps)
+                      coarse_steps=coarse_steps, kg=kg, pool=pool)
     budget_g = max(-(-int(round(budget * over)) // (group * 16)) * 16, 16)
     out = pack_groups_expand_fine(plan, plan.keep, 0, rays_o, rays_d,
                                   bitfield, bound, cascades, group,
@@ -565,19 +616,25 @@ def group_plan(rays_o, rays_d, bitfield, bound: float, cascades: int,
                max_steps: int, k: int, num_candidates: int, group: int = 8,
                perturb: jnp.ndarray | None = None, min_near: float = 0.05,
                aabb: jnp.ndarray | None = None,
-               coarse_steps: int = 0) -> GroupPlan:
+               coarse_steps: int = 0, kg: int = 0,
+               pool: int = 32) -> GroupPlan:
     """Level 1 of the two-level march: AABB clip + coarse tighten + group
-    midpoint test against the dilated pooled 32^3 view + per-ray group
+    midpoint test against the dilated pooled pool^3 view + per-ray group
     stride subsample. Factored out so the transmittance-terminated renderer
-    can slice the kept-group mask into rounds (render.renderer)."""
+    can slice the kept-group mask into rounds (render.renderer).
+
+    kg: per-ray kept-group cap — 0 derives k // group (per-ray budget
+    policy at group granularity), -1 disables the per-ray stride entirely
+    (every valid group kept; the caller's global budgets thin instead),
+    > 0 is an explicit cap. See RenderOptions.tl_kg."""
     g = group
     n = rays_o.shape[0]
     c = num_candidates
     assert c % g == 0, "num_candidates must divide into groups"
     cg = c // g
-    kg = max(k // g, 1)
+    kg = cg if kg < 0 else (kg if kg > 0 else max(k // g, 1))
     dt_min = 2.0 * SQRT3 / max_steps
-    assert (g - 1) * dt_min < 2.0 * bound / 32.0, \
+    assert (g - 1) * dt_min < 2.0 * bound / pool, \
         "group span exceeds the pooled cell; midpoint test not conservative"
     assert cascades == 1, "two-level march is single-cascade (caller gates)"
 
@@ -596,10 +653,10 @@ def group_plan(rays_o, rays_d, bitfield, bound: float, cascades: int,
     gi = jnp.arange(cg, dtype=jnp.float32)
     tm = t0[:, None] + (gi * g + (g - 1) * 0.5)[None, :] * dt_min  # midpoints
     xyz_m = rays_o[:, None, :] + tm[..., None] * rays_d[:, None, :]
-    cell = jnp.clip((xyz_m / bound * 0.5 + 0.5) * 32.0, 0.0, 31.0) \
+    cell = jnp.clip((xyz_m / bound * 0.5 + 0.5) * pool, 0.0, pool - 1.0) \
         .astype(jnp.int32)
-    lin = (cell[..., 0] * 32 + cell[..., 1]) * 32 + cell[..., 2]
-    pooled = pooled_dilated32(bitfield, cascades)
+    lin = (cell[..., 0] * pool + cell[..., 1]) * pool + cell[..., 2]
+    pooled = pooled_dilated(bitfield, cascades, pool)
     occ_g = jnp.take(pooled, lin)
     t_first = t0[:, None] + (gi * g)[None, :] * dt_min
     valid_g = occ_g & (t_first < fars[:, None])

@@ -112,12 +112,27 @@ class RenderOptions:
     # dt_gamma == 0, cascades == 1 and shapes divide; ignored otherwise.
     march_two_level: bool = False
     # Group length (candidates) for the two-level march; must divide
-    # num_candidates, and (group-1)*dt_min must stay under a 32^3 cell.
+    # num_candidates, and (group-1)*dt_min must stay under a tl_pool cell.
     tl_group: int = 8
+    # Pooled occupancy view resolution for the two-level midpoint test (32
+    # or 64). 64^3 halves the dilated slab thickness around surfaces so
+    # the group demand tracks fine-valid demand (requires tl_group=4 at
+    # max_steps=512 to satisfy the span constraint) — see
+    # ops.raymarch.pooled_dilated.
+    tl_pool: int = 32
     # Fine-budget over-provisioning of the group pack (>= 1): the group
     # budget holds over * budget / group groups, so false-positive groups
     # do not displace real samples before the fine repack.
     tl_over: float = 1.5
+    # Per-ray kept-group cap of the two-level march. 0 = budget_per_ray //
+    # tl_group (the single-level per-ray-k policy at group granularity);
+    # -1 = no per-ray cap (stride always 1; the GLOBAL Bresenham thinning
+    # of pack_groups_expand_fine enforces the budgets instead); > 0 =
+    # explicit cap. The round-3 val-view eval regression (~9 dB,
+    # PERFORMANCE.md) was this cap: at k=48, g=8 the default kg=6 strides
+    # foreground rays 4-6x, clumping samples into g-runs with ~4g*dt_min
+    # gaps — far coarser than the single-level path's candidate striding.
+    tl_kg: int = 0
     # Per-ray reduction mode of composite_flat: 'scatter' (exact; default,
     # used for training where gradients flow through it) or 'scan'
     # (cumsum + boundary gathers; ~1.5x faster composite on big inference
@@ -130,7 +145,8 @@ class RenderOptions:
         return (self.march_two_level and self.dt_gamma == 0.0
                 and self.cascades == 1 and not self.span_adaptive
                 and self.num_candidates % self.tl_group == 0
-                and (self.tl_group - 1) * dt_min < 2.0 * self.bound / 32.0)
+                and (self.tl_group - 1) * dt_min
+                < 2.0 * self.bound / self.tl_pool)
 
     @cached_property
     def cascades(self) -> int:
@@ -245,7 +261,8 @@ def _render_rounds_2level(params, field, cfg, bitfield, rays_o, rays_d,
                       cascades=opts.cascades, max_steps=opts.max_steps,
                       k=k, num_candidates=c, group=g, perturb=jitter,
                       min_near=opts.min_near, aabb=aabb,
-                      coarse_steps=opts.coarse_steps)
+                      coarse_steps=opts.coarse_steps, kg=opts.tl_kg,
+                      pool=opts.tl_pool)
 
     tau = jnp.zeros((n,), jnp.float32)
     image = jnp.zeros((n, 3), jnp.float32)
@@ -342,7 +359,7 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
                     num_candidates=opts.num_candidates, perturb=jitter,
                     min_near=opts.min_near, aabb=aabb, occ_stride=s,
                     coarse_steps=opts.coarse_steps, group=opts.tl_group,
-                    over=opts.tl_over)
+                    over=opts.tl_over, kg=opts.tl_kg, pool=opts.tl_pool)
             elif (opts.group_compact and opts.dt_gamma == 0.0
                     and not opts.span_adaptive and s > 1
                     and opts.num_candidates % s == 0 and k % s == 0

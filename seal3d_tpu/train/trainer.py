@@ -63,6 +63,18 @@ class TrainConfig:
     eval_two_level: bool = False
     eval_tl_over: float = 2.0
     eval_coarse_steps: int = 32
+    # Per-ray kept-group cap for the two-level eval (RenderOptions.tl_kg):
+    # -1 (default) disables the per-ray group stride — the round-3 val-view
+    # regression was the default cap clumping foreground samples
+    # (PERFORMANCE.md round-4 note); global Bresenham thinning enforces the
+    # budgets instead. 0 = budget_per_ray // tl_group, > 0 explicit.
+    eval_tl_kg: int = -1
+    # Two-level eval group length / pooled-view resolution overrides
+    # (0 = inherit RenderOptions). group=4 over the 64^3 view doubles the
+    # level-1 selectivity so the group budget holds all dilated-valid
+    # groups (the other half of the round-3 regression fix).
+    eval_tl_group: int = 4
+    eval_tl_pool: int = 64
     random_bg: bool = True
     error_map: bool = False
     # Adapt RenderOptions.flat_frac to the measured valid-sample occupancy
@@ -348,7 +360,9 @@ class Trainer:
             if cfg.eval_two_level:
                 eval_opts = dataclasses.replace(
                     eval_opts, march_two_level=True,
-                    tl_over=cfg.eval_tl_over,
+                    tl_over=cfg.eval_tl_over, tl_kg=cfg.eval_tl_kg,
+                    tl_group=cfg.eval_tl_group or opts.tl_group,
+                    tl_pool=cfg.eval_tl_pool or opts.tl_pool,
                     coarse_steps=(cfg.eval_coarse_steps
                                   if opts.coarse_steps else 0))
             if self.use_dense:

@@ -110,7 +110,10 @@ def test_seal_controller_full_cycle(tmp_path):
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=2, h=16, w=16, seed=0)
-    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15)
+    # tiny table + coarse pretrain shells: this is an interaction-logic
+    # test, not a quality test — the 2^15 table + default 0.005 point
+    # steps made it a 454 s CPU outlier (round-4 fast-lane budget)
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=10)
     opts = RenderOptions(bound=1.0, num_steps=32, upsample_steps=0,
                          min_near=0.05, budget_per_ray=16, num_candidates=64,
                          max_steps=64)
@@ -146,7 +149,10 @@ def test_seal_controller_full_cycle(tmp_path):
     assert cfg["type"] == "brush" and len(cfg["raw"]) == n_lifted
 
     # 3. start edit -> student exists, pretraining scheduled
-    ctl.start_edit(cfg, pretrain_epochs=1, pretrain_batch=4096)
+    ctl.start_edit(cfg, pretrain_epochs=1, pretrain_batch=4096,
+                   local_point_step=0.02, surrounding_point_step=0.06,
+                   global_point_step=0.15, local_angle_step=90.0,
+                   surrounding_angle_step=90.0, global_angle_step=90.0)
     assert ctl.student is not None and ctl.session.state is ToolState.TRAIN
     assert ctl.render_trainer is ctl.student
 

@@ -669,6 +669,48 @@ def test_term_rounds_2level_matches_plain_rounds():
                        - np.asarray(single_cand["image"]))
         assert err_c.mean() < 8e-3, (rounds, err_c.mean())
 
+def test_flat_pack_overflow_degrades_gracefully():
+    """Round-4: compact_flat_direct's global-budget overflow must thin
+    EVENLY across rays with per-ray delta rescale (optical depth conserved
+    to first order) instead of dropping all trailing rays' samples — the
+    single-level analog of the two-level repack fix."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seal3d_tpu.ops.raymarch import compact_flat_direct
+
+    rng = np.random.default_rng(3)
+    n, c, k = 32, 64, 64
+    ts = np.sort(rng.uniform(0.1, 2.0, (n, c)).astype(np.float32), axis=1)
+    dts = np.full((n, c), 0.01, np.float32)
+    valid = np.ones((n, c), bool)  # every ray fully dense: demand = 2048
+    rays_o = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rays_d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    budget = 512  # 4x over-subscribed
+    m = compact_flat_direct(jnp.asarray(ts), jnp.asarray(dts),
+                            jnp.asarray(valid), jnp.asarray(rays_o),
+                            jnp.asarray(rays_d), k, budget)
+    counts = np.asarray(m.counts)
+    # EVERY ray keeps samples (no trailing-ray dropout), evenly ~budget/n
+    assert counts.min() >= budget // n - 1
+    assert counts.max() <= budget // n + 1
+    # per-ray optical depth conserved to first order by the delta rescale
+    va = np.asarray(m.valid)
+    rid = np.asarray(m.ray_id)[va]
+    od = np.zeros(n)
+    np.add.at(od, rid, np.asarray(m.deltas)[va])
+    np.testing.assert_allclose(od, np.full(n, c * 0.01), rtol=0.1)
+
+    # under budget: bit-exact to the ungated path (prefix of the keeps)
+    m2 = compact_flat_direct(jnp.asarray(ts), jnp.asarray(dts),
+                             jnp.asarray(valid), jnp.asarray(rays_o),
+                             jnp.asarray(rays_d), k, n * c)
+    assert np.asarray(m2.valid).sum() == n * c
+    np.testing.assert_allclose(np.asarray(m2.deltas), 0.01, rtol=1e-6)
+
+
 def test_two_level_overflow_degrades_gracefully():
     """When demand exceeds the static budgets, pack_groups_expand_fine must
     thin every ray's samples evenly (with delta rescale conserving per-ray
