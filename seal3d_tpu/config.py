@@ -114,14 +114,15 @@ def build_train_config(args, family: str = "ngp") -> TrainConfig:
         adaptive = bool(getattr(args, "O", False))
     eval_kw = {}
     if getattr(args, "O", False):
-        # Fast-path eval operating point (round 3): budget 48, scan
-        # composite, single-level flat-packed 0.375 — the point whose PSNR
-        # is pinned across views (probe_eval_point.py: 35.6/41.3 dB).
-        # The faster two-level march (800x800 pose-0 1.8 s vs 3.0) is
-        # opt-in via TrainConfig.eval_two_level: it reads ~9 dB low on
-        # small val views of trained states (cause open, see trainer.py).
+        # Fast-path eval operating point (round 4): budget 48, scan
+        # composite, two-level flat-packed march (kg=-1/g4/pool64 — the
+        # round-3 regression-fixed point, val-view parity with single-level
+        # at 35.66 vs 35.57 dB) with demand-adaptive per-chunk budgets
+        # (TrainConfig.eval_adaptive: flat_frac 0.5 is the default bucket;
+        # each chunk renders at the smallest lossless bucket its measured
+        # demand fits).
         eval_kw = dict(eval_chunk=2**15, eval_budget_per_ray=48,
-                       eval_flat_frac=0.375)
+                       eval_flat_frac=0.5)
         if family == "tensorf":
             # TensoRF-family fields materialize [M, rank] plane/line feature
             # stacks per sample — 2^15-ray eval chunks OOM HBM (seen on

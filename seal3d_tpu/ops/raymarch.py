@@ -789,6 +789,47 @@ def pack_groups_expand_fine(plan: GroupPlan, keep: jnp.ndarray, col0: int,
         offsets=jnp.minimum(offsets, budget), counts=jnp.maximum(kept, 0))
 
 
+def compact_flat_sharded(compact, ts, dts, valid, rays_o, rays_d,
+                         k: int, budget: int, shards: int) -> MarchedRays:
+    """Run a flat pack per contiguous ray slice so DP stays sharded.
+
+    The global pack couples the whole batch through one [N*C]-key sort and
+    one [N*C] cumsum; under a data-sharded ray batch XLA implements those as
+    all-gather + replicated compute — measured in the partitioned train-step
+    HLO as a batch-scale `all-gather f32[N,C]`, after which the FIELD (86%
+    of the step) runs replicated too, i.e. DP would not scale
+    (scripts/probe_dp_hlo.py). Here the batch is split into `shards`
+    contiguous ray slices, each packed independently (vmapped `compact`)
+    into its own budget/shards sub-buffer; sorts and cumsums become batched
+    over the slice axis, which the SPMD partitioner keeps sharded. This is
+    the static-shape analog of giving each GPU its own `mean_count`
+    pre-allocation in the reference's (never-enabled) DDP mode
+    (raymarching/raymarching.py:198-204, nerf/utils.py:330-332).
+
+    Semantics vs the global pack: the per-ray stride subsample is unchanged
+    (per-ray); only the graceful-overflow Bresenham thinning becomes
+    per-slice instead of global. Under budget the selection is bit-identical
+    (slices are contiguous ray ranges, so slice-major == ray-major order);
+    pad slots between slice sub-buffers carry valid=False like the global
+    tail pad. N % shards == 0 and budget % shards == 0 required (the
+    renderer rounds the budget to a multiple of 128 * shards).
+    """
+    n, c = ts.shape
+    assert n % shards == 0 and budget % shards == 0, (n, budget, shards)
+    ns, bs = n // shards, budget // shards
+    part = lambda a: a.reshape(shards, ns, *a.shape[1:])
+    out = jax.vmap(lambda t, d, v, o, dd: compact(t, d, v, o, dd, k, bs))(
+        part(ts), part(dts), part(valid), part(rays_o), part(rays_d))
+    ray_off = (jnp.arange(shards, dtype=jnp.int32) * ns)[:, None]
+    slot_off = (jnp.arange(shards, dtype=jnp.int32) * bs)[:, None]
+    flat = lambda a: a.reshape(shards * a.shape[1], *a.shape[2:])
+    return MarchedRays(
+        xyzs=flat(out.xyzs), dirs=flat(out.dirs), deltas=flat(out.deltas),
+        ts=flat(out.ts), ray_id=flat(out.ray_id + ray_off),
+        valid=flat(out.valid), offsets=flat(out.offsets + slot_off),
+        counts=flat(out.counts))
+
+
 def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     bitfield: jnp.ndarray, bound: float, cascades: int,
                     dt_gamma: float, max_steps: int, k: int, budget: int,
@@ -799,7 +840,8 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     occ_stride: int = 2,
                     coarse_steps: int = 0,
                     span_adaptive: bool = False,
-                    select: str = "sort") -> MarchedRays:
+                    select: str = "sort",
+                    shards: int = 1) -> MarchedRays:
     """Occupancy march straight to the flat packed layout (train fast path).
 
     Same candidate ladder / occupancy semantics as march_rays_grid, but the
@@ -814,7 +856,11 @@ def march_rays_flat(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         occ_stride=occ_stride, coarse_steps=coarse_steps,
         span_adaptive=span_adaptive)
     compact = compact_flat_gather if select == "gather" else compact_flat_direct
-    out = compact(ts, dts, valid, rays_o, rays_d, k, budget)
+    if shards > 1:
+        out = compact_flat_sharded(compact, ts, dts, valid, rays_o, rays_d,
+                                   k, budget, shards)
+    else:
+        out = compact(ts, dts, valid, rays_o, rays_d, k, budget)
     return jax.tree.map(jax.lax.stop_gradient, out)
 
 

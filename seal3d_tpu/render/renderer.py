@@ -73,6 +73,14 @@ class RenderOptions:
     # inversion's gather/argmax chain doesn't beat it. Kept as an option
     # for architectures with faster gathers.
     flat_select: str = "sort"
+    # Shard the flat pack into this many contiguous ray slices with
+    # per-slice budgets (ops.raymarch.compact_flat_sharded) so the packing
+    # sort/cumsum stay sharded under a data mesh instead of all-gathering
+    # the [N, C] candidates (probe_dp_hlo). The Trainer sets this to the
+    # mesh's data-axis size; 1 = the global pack (single-chip default).
+    # Applies on the single-level flat path when n divides; other paths
+    # ignore it.
+    pack_shards: int = 1
     # Per-ray candidate spacing max(dt_min, span/num_candidates) instead of
     # the global dt_min (dt_gamma == 0 only): the ladder always covers the
     # tightened interval, so num_candidates can halve (see candidate_ts).
@@ -349,7 +357,10 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
             # March straight to the packed flat layout (one argsort; the
             # [N, K] grid and its top_k never exist) — the field runs on
             # `budget` real samples instead of all N*K grid slots.
-            budget = max(int(round(n * k * opts.flat_frac / 128)) * 128, 128)
+            shards = opts.pack_shards if n % max(opts.pack_shards, 1) == 0 \
+                else 1
+            q = 128 * max(shards, 1)
+            budget = max(int(round(n * k * opts.flat_frac / q)) * q, q)
             s = opts.occ_stride
             if opts.two_level_ok(k):
                 mf = march_rays_flat_2level(
@@ -380,7 +391,7 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
                     perturb=jitter, min_near=opts.min_near, aabb=aabb,
                     occ_stride=s, coarse_steps=opts.coarse_steps,
                     span_adaptive=opts.span_adaptive,
-                    select=opts.flat_select)
+                    select=opts.flat_select, shards=shards)
             try:
                 # backbones that take the packed-valid mask (NGP) let the
                 # halo kernel skip table chunks only tail slots touch

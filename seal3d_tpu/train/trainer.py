@@ -53,15 +53,15 @@ class TrainConfig:
     eval_flat_frac: Optional[float] = None
     # Two-level hierarchical march for eval/full-image renders (applies only
     # where RenderOptions.two_level_ok holds — single-cascade uniform
-    # ladders). Measured r3: 800x800 pose-0 1.82 s/frame vs 3.04
-    # single-level at parity quality (scripts/probe_render_best.py) — but
-    # OFF by default: the same eval path reads ~9 dB LOW on 256^2/128^2 val
-    # views of a trained state (probe_eval_point.py r3: 26.8 vs 35.6 dB at
-    # identical f375 budgets; unchanged by the graceful-overflow repack fix,
-    # so the mechanism is NOT budget truncation and is still open). Opt in
-    # per-run only where parity has been measured for your view geometry.
-    eval_two_level: bool = False
-    eval_tl_over: float = 2.0
+    # ladders; other configs fall back to single-level automatically).
+    # Default ON since round 4: the round-3 ~9 dB val-view regression was
+    # isolated to the per-ray kept-group cap + the 32^3 pooled view
+    # (PERFORMANCE.md round 4) and the fixed point below (kg=-1, g4/pool64,
+    # over 2.5) reads AT or ABOVE single-level parity on the same trained
+    # states (35.66 vs 35.57 dB, probe_2l_default.py), guarded by
+    # tests/test_render_paths.py small-view parity tests.
+    eval_two_level: bool = True
+    eval_tl_over: float = 2.5
     eval_coarse_steps: int = 32
     # Per-ray kept-group cap for the two-level eval (RenderOptions.tl_kg):
     # -1 (default) disables the per-ray group stride — the round-3 val-view
@@ -75,6 +75,22 @@ class TrainConfig:
     # groups (the other half of the round-3 regression fix).
     eval_tl_group: int = 4
     eval_tl_pool: int = 64
+    # Demand-adaptive eval budgets (flat-packed eval paths only): before
+    # each eval/render chunk, a cheap jitted march-count probe measures the
+    # chunk's EXACT sample demand (for the 2l kg=-1 path the ladder-valid
+    # count IS the fine demand; for single-level the per-ray-stride kept
+    # count) and the chunk renders at the smallest eval_buckets flat_frac
+    # whose budget covers it — lossless (no thinning) whenever a bucket
+    # fits, graceful Bresenham thinning at the top bucket otherwise.
+    # Background-heavy 800x800 chunks render at ~0.1 while dense val-view
+    # chunks get the full budget, resolving the round-4 speed/parity
+    # tradeoff (probe_2l_default.py: f28 was 1.8 s but -0.77 dB on val
+    # views, f50 parity but 3.6 s). Each used bucket jit-compiles once per
+    # trainer. Applies when eval_flat_frac is set; None keeps the dense
+    # path.
+    eval_adaptive: bool = True
+    eval_buckets: tuple = (0.0625, 0.125, 0.1875, 0.25, 0.375, 0.5,
+                           0.625, 0.75, 1.0)
     random_bg: bool = True
     error_map: bool = False
     # Adapt RenderOptions.flat_frac to the measured valid-sample occupancy
@@ -136,6 +152,16 @@ class Trainer:
         self.opts = opts
         self.cfg = cfg
         self.mesh = mesh
+        # Under a data mesh, slice the flat pack per data shard so the
+        # packing sort/cumsum stay sharded (ops.raymarch.compact_flat_
+        # sharded; without this the partitioned step all-gathers the [N, C]
+        # candidates and the field runs replicated — probe_dp_hlo.py).
+        if mesh is not None and opts.pack_shards == 1:
+            n_data = dict(zip(mesh.axis_names, mesh.devices.shape)) \
+                .get("data", 1)
+            if n_data > 1:
+                import dataclasses as _dc
+                self.opts = opts = _dc.replace(opts, pack_shards=n_data)
         self.name = name
         self.use_dense = use_dense
         # optional params-regularizer, e.g. TensoRF L1 density sparsity
@@ -346,25 +372,27 @@ class Trainer:
         self._update_grid_partial = jax.jit(partial(update_grid, full=False), **donate)
         self._step_cache[opts.flat_frac] = (self._train_step, self._train_block)
 
-        def render_eval(params, bitfield, rays_o, rays_d, bg, key,
-                        occ_aabb=None):
-            import dataclasses
+        import dataclasses
 
-            eval_opts = dataclasses.replace(
-                opts, budget_per_ray=cfg.eval_budget_per_ray,
-                flat_frac=cfg.eval_flat_frac,
-                # inference-only chunks: the scan composite is ~1.5x faster
-                # at big M and its ~2e-3 prefix-rounding error is invisible
-                # in an image (ops/composite.py seg_mode)
-                composite_seg="scan")
-            if cfg.eval_two_level:
-                eval_opts = dataclasses.replace(
-                    eval_opts, march_two_level=True,
-                    tl_over=cfg.eval_tl_over, tl_kg=cfg.eval_tl_kg,
-                    tl_group=cfg.eval_tl_group or opts.tl_group,
-                    tl_pool=cfg.eval_tl_pool or opts.tl_pool,
-                    coarse_steps=(cfg.eval_coarse_steps
-                                  if opts.coarse_steps else 0))
+        eval_opts0 = dataclasses.replace(
+            opts, budget_per_ray=cfg.eval_budget_per_ray,
+            flat_frac=cfg.eval_flat_frac,
+            # inference-only chunks: the scan composite is ~1.5x faster
+            # at big M and its ~2e-3 prefix-rounding error is invisible
+            # in an image (ops/composite.py seg_mode)
+            composite_seg="scan")
+        if cfg.eval_two_level:
+            eval_opts0 = dataclasses.replace(
+                eval_opts0, march_two_level=True,
+                tl_over=cfg.eval_tl_over, tl_kg=cfg.eval_tl_kg,
+                tl_group=cfg.eval_tl_group or opts.tl_group,
+                tl_pool=cfg.eval_tl_pool or opts.tl_pool,
+                coarse_steps=(cfg.eval_coarse_steps
+                              if opts.coarse_steps else 0))
+
+        def render_eval(params, bitfield, rays_o, rays_d, bg, key,
+                        occ_aabb=None, *, frac=cfg.eval_flat_frac):
+            eval_opts = dataclasses.replace(eval_opts0, flat_frac=frac)
             if self.use_dense:
                 return render_rays_dense(params, field, fcfg, rays_o, rays_d,
                                          eval_opts, key=key, bg_color=bg)
@@ -372,7 +400,72 @@ class Trainer:
                                eval_opts, key=key, bg_color=bg,
                                aabb=_march_aabb(occ_aabb))
 
-        self._render_eval = jax.jit(render_eval)
+        # The bucket jits are keyed on everything eval depends on EXCEPT
+        # flat_frac, so train-phase budget retunes (_retune_budget ->
+        # _build_steps) keep compiled eval buckets, while probe-style cfg
+        # edits invalidate them.
+        eval_key = (repr(dataclasses.replace(eval_opts0, flat_frac=None)),
+                    self.use_dense)
+        eval_key_fresh = getattr(self, "_eval_cache_key", None) != eval_key
+        if eval_key_fresh:
+            self._eval_cache = {}
+            self._eval_cache_key = eval_key
+        self._render_eval = self._eval_cache.get(cfg.eval_flat_frac)
+        if self._render_eval is None:
+            self._render_eval = jax.jit(render_eval)
+            self._eval_cache[cfg.eval_flat_frac] = self._render_eval
+
+        def render_eval_at(frac):
+            """Jitted eval render at a flat_frac bucket (cached per bucket;
+            None = the dense/grid path)."""
+            fn = self._eval_cache.get(frac)
+            if fn is None:
+                fn = jax.jit(partial(render_eval, frac=frac))
+                self._eval_cache[frac] = fn
+            return fn
+
+        self._render_eval_at = render_eval_at
+
+        # Demand probe for the adaptive eval buckets (TrainConfig.
+        # eval_adaptive): counts the chunk's packed-sample demand from the
+        # candidate ladder alone — no field, compiles in seconds, ~10 ms
+        # per 32k-ray chunk on-device. Cached under the same eval key as
+        # the bucket jits.
+        if eval_key_fresh:
+            self._eval_demand = None
+        if (getattr(self, "_eval_demand", None) is None
+                and cfg.eval_adaptive and cfg.eval_flat_frac is not None
+                and not self.use_dense and opts.compaction == "topk"):
+            from seal3d_tpu.ops.raymarch import march_candidates
+
+            ek = cfg.eval_budget_per_ray
+            # With the two-level kg=-1 eval march, the kept fine samples are
+            # EXACTLY the ladder-valid samples (dilated group test is
+            # conservative, fine test re-applies ladder validity), so the
+            # ladder count is the exact demand. Single-level applies the
+            # per-ray stride cap first — same formula as compact_flat_*.
+            uncapped = (eval_opts0.two_level_ok(ek)
+                        and eval_opts0.tl_kg == -1)
+
+            def eval_demand(bitfield, rays_o, rays_d, occ_aabb=None):
+                _, _, valid = march_candidates(
+                    rays_o, rays_d, bitfield, eval_opts0.bound,
+                    eval_opts0.cascades, eval_opts0.dt_gamma,
+                    eval_opts0.max_steps, eval_opts0.num_candidates,
+                    min_near=eval_opts0.min_near, aabb=_march_aabb(occ_aabb),
+                    occ_stride=eval_opts0.occ_stride,
+                    coarse_steps=eval_opts0.coarse_steps,
+                    span_adaptive=eval_opts0.span_adaptive)
+                if uncapped:
+                    return valid.sum()
+                rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+                count = rank[:, -1:]
+                stride = jnp.maximum(
+                    jnp.ceil(count / ek).astype(jnp.int32), 1)
+                keep = valid & (((rank - 1) % stride) == 0)
+                return keep.sum()
+
+            self._eval_demand = jax.jit(eval_demand)
 
     # -------------------------------------------------------------- main loops
 
@@ -531,9 +624,20 @@ class Trainer:
                 pad = chunk - ro.shape[0]
                 ro = jnp.pad(ro, ((0, pad), (0, 0)))
                 rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            out = self._render_eval(params, self.state.occ.bitfield, ro, rd, bg,
-                                    jax.random.PRNGKey(0),
-                                    self.state.occ.occ_aabb)
+            fn = self._render_eval
+            if self._eval_demand is not None:
+                # lossless bucket: smallest flat_frac whose budget covers
+                # the chunk's exact demand (1.02 absorbs the budget's
+                # round-to-128 and the group-budget headroom)
+                cnt = int(self._eval_demand(self.state.occ.bitfield, ro, rd,
+                                            self.state.occ.occ_aabb))
+                cap = chunk * self.cfg.eval_budget_per_ray
+                need = min(cnt * 1.02 / cap, 1.0)
+                bucket = next((b for b in self.cfg.eval_buckets
+                               if b >= need), 1.0)
+                fn = self._render_eval_at(None if bucket >= 1.0 else bucket)
+            out = fn(params, self.state.occ.bitfield, ro, rd, bg,
+                     jax.random.PRNGKey(0), self.state.occ.occ_aabb)
             imgs.append(out["image"][: min(chunk, n - i)])
             deps.append(out["depth"][: min(chunk, n - i)])
         return (jnp.concatenate(imgs).reshape(h, w, 3),

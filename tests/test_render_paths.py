@@ -27,14 +27,29 @@ class _SceneField:
         return {"sigma": cfg.density(x), "geo_feat": None}
 
 
+_OCC_CACHE = {}
+
+
+def _shared_occ(thresh=0.01):
+    """One full 128^3 occupancy build shared by every test that uses the
+    standard grid (cascades=1, bound=1.0, thresh=0.01, PRNGKey(0), full):
+    the update queries ~2M analytic densities and was repeated 16x across
+    this file — the single largest CPU cost of the fast lane. OccState is
+    a NamedTuple of immutable jnp arrays, so sharing is safe."""
+    if thresh not in _OCC_CACHE:
+        occ = occupancy_init(cascades=1)
+        _OCC_CACHE[thresh] = occupancy_update(
+            occ, SyntheticScene().density, jax.random.PRNGKey(0),
+            bound=1.0, density_thresh=thresh, full=True)
+    return _OCC_CACHE[thresh]
+
+
 def test_occupancy_path_matches_scene_gt():
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=40, w=40, seed=3)
 
     # Build an occupancy grid from the analytic density via the real update fn.
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
-                           density_thresh=0.01, full=True)
+    occ = _shared_occ()
     assert float((occ.density_grid > 0.01).mean()) > 0.01
 
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
@@ -73,9 +88,7 @@ def test_flat_compaction_matches_topk_path():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
-                           density_thresh=10.0, full=True)
+    occ = _shared_occ(thresh=10.0)
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
@@ -99,9 +112,7 @@ def test_march_rays_flat_matches_grid_then_pack():
                                          march_rays_flat, march_rays_grid)
 
     scene = SyntheticScene()
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     ds = scene.make_dataset(n_views=1, h=16, w=16, seed=3)
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
@@ -138,9 +149,7 @@ def test_flat_frac_packed_path_matches_topk():
     valid sample, and stay close when it clips a few."""
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
-                           density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     # group_compact off: this test pins CANDIDATE-level packing == topk
@@ -185,9 +194,7 @@ def test_over_budget_stride_subsampling():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=24, w=24, seed=7)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
-                           density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
 
@@ -276,9 +283,7 @@ def test_coarse_tighten_preserves_image():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=24, w=24, seed=9)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0), bound=1.0,
-                           density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
@@ -308,9 +313,7 @@ def test_grouped_flat_march_matches_candidate_level():
     from seal3d_tpu.ops.raymarch import march_rays_flat, march_rays_flat_grouped
 
     scene = SyntheticScene()
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     ds = scene.make_dataset(n_views=1, h=16, w=16, seed=3)
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
@@ -354,9 +357,7 @@ def test_grouped_flat_march_render_parity():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
@@ -435,9 +436,7 @@ def test_term_rounds_matches_single_round():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=32, w=32, seed=7)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
@@ -470,9 +469,7 @@ def test_term_rounds_drops_saturated_samples():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=32, w=32, seed=9)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
 
@@ -511,9 +508,7 @@ def test_two_level_march_matches_single_level_under_budget():
     from seal3d_tpu.ops.raymarch import march_rays_flat, march_rays_flat_2level
 
     scene = SyntheticScene()
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     ds = scene.make_dataset(n_views=1, h=16, w=16, seed=3)
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
@@ -559,9 +554,7 @@ def test_two_level_march_render_parity():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=24, w=24, seed=5)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
@@ -598,9 +591,7 @@ def test_two_level_march_is_conservative_superset_prepack():
     from seal3d_tpu.ops.raymarch import march_rays_flat, march_rays_flat_2level
 
     scene = SyntheticScene()
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=10.0, full=True)
+    occ = _shared_occ(thresh=10.0)
     ds = scene.make_dataset(n_views=2, h=12, w=12, seed=11)
     for view in range(2):
         rays = get_full_rays(jnp.asarray(ds.poses[view]),
@@ -634,9 +625,7 @@ def test_term_rounds_2level_matches_plain_rounds():
 
     scene = SyntheticScene()
     ds = scene.make_dataset(n_views=1, h=32, w=32, seed=7)
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
     base = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
@@ -720,9 +709,7 @@ def test_two_level_overflow_degrades_gracefully():
     from seal3d_tpu.ops.raymarch import march_rays_flat_2level
 
     scene = SyntheticScene()
-    occ = occupancy_init(cascades=1)
-    occ = occupancy_update(occ, scene.density, jax.random.PRNGKey(0),
-                           bound=1.0, density_thresh=0.01, full=True)
+    occ = _shared_occ()
     ds = scene.make_dataset(n_views=1, h=16, w=16, seed=13)
     rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
                          ds.h, ds.w)
@@ -764,3 +751,58 @@ def test_two_level_overflow_degrades_gracefully():
     assert np.median(ratio) > 0.8, np.median(ratio)
     assert np.median(ratio) < 1.25, np.median(ratio)
     assert (ratio > 0.5).mean() > 0.95, (ratio > 0.5).mean()
+
+
+def test_pack_shards_matches_global_pack():
+    """compact_flat_sharded (per-ray-slice packing for DP, ops/raymarch.py)
+    must keep each ray's exact sample stream: same kept (ts, deltas,
+    ray_id) per ray as the global pack under budget, and the rendered image
+    must match bitwise-close — only the slot layout (inter-slice pads) may
+    differ."""
+    from seal3d_tpu.ops.raymarch import march_rays_flat
+
+    scene = SyntheticScene()
+    occ = _shared_occ()
+    ds = scene.make_dataset(n_views=1, h=16, w=16, seed=5)
+    rays = get_full_rays(jnp.asarray(ds.poses[0]), jnp.asarray(ds.intrinsics),
+                         ds.h, ds.w)
+    n = rays["rays_o"].shape[0]
+    kw = dict(bound=1.0, cascades=1, dt_gamma=0.0, max_steps=256,
+              num_candidates=256, min_near=0.05, occ_stride=2,
+              coarse_steps=32)
+    k, budget = 16, 4096  # generous: no thinning in either layout
+    ref = march_rays_flat(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                          k=k, budget=budget, **kw)
+    out = march_rays_flat(rays["rays_o"], rays["rays_d"], occ.bitfield,
+                          k=k, budget=budget, shards=4, **kw)
+    assert bool(out.valid.any())
+
+    def per_ray(m):
+        v = np.asarray(m.valid)
+        rid = np.asarray(m.ray_id)[v]
+        return {r: (np.asarray(m.ts)[v][rid == r],
+                    np.asarray(m.deltas)[v][rid == r])
+                for r in np.unique(rid)}
+
+    pr_ref, pr_out = per_ray(ref), per_ray(out)
+    assert set(pr_ref) == set(pr_out)
+    for r in pr_ref:
+        np.testing.assert_allclose(pr_out[r][0], pr_ref[r][0], rtol=1e-6)
+        np.testing.assert_allclose(pr_out[r][1], pr_ref[r][1], rtol=1e-6)
+
+    # end-to-end: the renderer's pack_shards option produces the same image
+    opts1 = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
+                          budget_per_ray=16, num_candidates=256,
+                          min_near=0.05, coarse_steps=32, flat_frac=0.75)
+    opts4 = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=256,
+                          budget_per_ray=16, num_candidates=256,
+                          min_near=0.05, coarse_steps=32, flat_frac=0.75,
+                          pack_shards=4)
+    out1 = render_rays(None, _SceneField, scene, occ.bitfield,
+                       rays["rays_o"], rays["rays_d"], opts1, bg_color=1.0)
+    out4 = render_rays(None, _SceneField, scene, occ.bitfield,
+                       rays["rays_o"], rays["rays_d"], opts4, bg_color=1.0)
+    np.testing.assert_allclose(np.asarray(out4["image"]),
+                               np.asarray(out1["image"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out4["weights_sum"]),
+                               np.asarray(out1["weights_sum"]), atol=1e-5)

@@ -142,3 +142,37 @@ def test_retune_bucket_selection_and_warm_start():
     tr3._retune_budget = lambda: (calls3.append(1), orig3())[1]
     tr3.train(steps=24, silent=True)
     assert not calls3  # untouched: still in full phase
+
+
+def test_eval_adaptive_buckets_match_fixed_budget():
+    """Demand-adaptive eval budgets (TrainConfig.eval_adaptive) must be
+    LOSSLESS: render_image with per-chunk buckets must reproduce the fixed
+    top-bucket render exactly (a bucket is only picked when the chunk's
+    measured demand fits it, so no thinning ever occurs), and compiled
+    bucket jits must survive a _build_steps rebuild (budget retunes)."""
+    import dataclasses
+
+    import __graft_entry__ as g
+
+    ngp_m, fcfg, opts, tcfg, ds, TrainerCls = g._setup(n_rays=512, h=24,
+                                                       w=24, log2_hashmap=12)
+    opts = dataclasses.replace(opts, coarse_steps=32)
+    tcfg = dataclasses.replace(tcfg, eval_flat_frac=0.5,
+                               eval_budget_per_ray=16, eval_chunk=288,
+                               eval_two_level=True, eval_adaptive=True)
+    tr = TrainerCls(ngp_m, fcfg, opts, tcfg, dataset=ds,
+                    key=jax.random.PRNGKey(0))
+    tr.init_state()
+    tr.state = tr._update_grid_full(tr.state, jax.random.PRNGKey(1))
+    img_a, _ = tr.render_image(ds.poses[0], 24, 24)
+    assert tr._eval_demand is not None
+    assert len(tr._eval_cache) >= 1
+
+    n_cache = len(tr._eval_cache)
+    tr.cfg = dataclasses.replace(tr.cfg, eval_adaptive=False)
+    tr._build_steps(tr._loss_override)
+    assert len(tr._eval_cache) == n_cache  # rebuild kept the bucket jits
+
+    img_f, _ = tr.render_image(ds.poses[0], 24, 24)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_f),
+                               atol=1e-6)
