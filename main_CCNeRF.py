@@ -6,7 +6,8 @@ import os
 import jax
 import numpy as np
 
-from seal3d_tpu.config import (build_options, build_train_config,
+from seal3d_tpu.config import (enable_compile_cache,
+                               build_options, build_train_config,
                                common_parser, load_dataset)
 from seal3d_tpu.models import ccnerf
 from seal3d_tpu.models.ccnerf import CCNeRFConfig
@@ -25,6 +26,7 @@ def main():
     parser.add_argument("--compose", type=str, nargs="*", default=None,
                         help="checkpoints of other objects to compose in")
     args = parser.parse_args()
+    enable_compile_cache()
     seed_everything(args.seed)
 
     fcfg = CCNeRFConfig(bound=args.bound,

@@ -7,7 +7,8 @@ import os
 
 import jax
 
-from seal3d_tpu.config import (build_options, build_train_config,
+from seal3d_tpu.config import (enable_compile_cache,
+                               build_options, build_train_config,
                                common_parser, grid_defaults, load_dataset)
 from seal3d_tpu.models import ngp
 from seal3d_tpu.models.ngp import NGPConfig
@@ -141,6 +142,7 @@ def run_seal(args, field_mod, fcfg, make_trainer, name, family: str = "ngp"):
 def main():
     parser = add_seal_args(common_parser("seal3d-tpu Seal editing (NGP)"))
     args = parser.parse_args()
+    enable_compile_cache()
     backend, log2t, gridtype = grid_defaults(args)
     fcfg = NGPConfig(bound=args.bound, log2_hashmap_size=log2t,
                      grid_backend=backend, gridtype=gridtype,

@@ -4,7 +4,7 @@
 import jax
 
 from main_SealNeRF import add_seal_args, run_seal
-from seal3d_tpu.config import build_options, common_parser
+from seal3d_tpu.config import enable_compile_cache, build_options, common_parser
 from seal3d_tpu.models import tensorf
 from seal3d_tpu.models.tensorf import TensoRFConfig
 from seal3d_tpu.train.tensorf_trainer import TensoRFTrainer
@@ -15,6 +15,7 @@ def main():
     parser.add_argument("--cp", action="store_true")
     parser.add_argument("--resolution0", type=int, default=128)
     args = parser.parse_args()
+    enable_compile_cache()
     fcfg = TensoRFConfig(bound=args.bound,
                          decomposition="cp" if args.cp else "vm",
                          resolution=(args.resolution0,) * 3)

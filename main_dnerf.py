@@ -6,7 +6,8 @@ import dataclasses
 import jax
 import numpy as np
 
-from seal3d_tpu.config import (build_options, build_train_config,
+from seal3d_tpu.config import (enable_compile_cache,
+                               build_options, build_train_config,
                                common_parser, grid_defaults, load_dataset)
 from seal3d_tpu.models.dnerf import DNeRFConfig
 from seal3d_tpu.train.dnerf_trainer import DNeRFTrainer
@@ -29,6 +30,7 @@ def main():
                              "geometry constraints across frames — use 1-2 "
                              "for sparse-view dynamic captures)")
     args = parser.parse_args()
+    enable_compile_cache()
     seed_everything(args.seed)
     backend, log2t, gridtype = grid_defaults(args)
 

@@ -4,7 +4,8 @@ import os
 
 import jax
 
-from seal3d_tpu.config import (build_options, build_train_config,
+from seal3d_tpu.config import (enable_compile_cache,
+                               build_options, build_train_config,
                                common_parser, grid_defaults, load_dataset)
 from seal3d_tpu.models import ngp
 from seal3d_tpu.models.ngp import NGPConfig
@@ -16,6 +17,7 @@ from seal3d_tpu.utils.seeding import seed_everything
 def main():
     parser = common_parser("seal3d-tpu NGP NeRF")
     args = parser.parse_args()
+    enable_compile_cache()
     seed_everything(args.seed)
     backend, log2t, gridtype = grid_defaults(args)
 

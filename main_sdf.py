@@ -5,6 +5,8 @@ import os
 
 import jax
 
+from seal3d_tpu.config import enable_compile_cache
+
 from seal3d_tpu.data.sdf_provider import SDFDataset
 from seal3d_tpu.models.sdf import SDFConfig
 from seal3d_tpu.train.sdf_trainer import SDFTrainer
@@ -24,6 +26,7 @@ def main():
     p.add_argument("--test", action="store_true")
     p.add_argument("--mesh_resolution", type=int, default=256)
     args = p.parse_args()
+    enable_compile_cache()
     seed_everything(args.seed)
 
     if args.path == "synthetic":

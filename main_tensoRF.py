@@ -4,7 +4,8 @@ import os
 
 import jax
 
-from seal3d_tpu.config import (build_options, build_train_config,
+from seal3d_tpu.config import (enable_compile_cache,
+                               build_options, build_train_config,
                                common_parser, load_dataset)
 from seal3d_tpu.models.tensorf import TensoRFConfig
 from seal3d_tpu.train.tensorf_trainer import TensoRFTrainer
@@ -20,6 +21,7 @@ def main():
     parser.add_argument("--upsample_model_steps", type=int, nargs="*",
                         default=[2000, 3000, 4000, 5500, 7000])
     args = parser.parse_args()
+    enable_compile_cache()
     seed_everything(args.seed)
 
     fcfg = TensoRFConfig(

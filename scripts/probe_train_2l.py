@@ -27,7 +27,8 @@ def _sync(x):
     jax.device_get(jnp.ravel(jax.tree.leaves(x)[0])[0])
 
 
-def run_arm(tag, two_level, over, steps=1216, timed=96, eval_cmp=False):
+def run_arm(tag, two_level, over, steps=1216, timed=96, eval_cmp=False,
+            group=8, pool=32, kg=0):
     from bench import _cached_dataset
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.models import ngp
@@ -41,7 +42,8 @@ def run_arm(tag, two_level, over, steps=1216, timed=96, eval_cmp=False):
     opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
                          budget_per_ray=48, num_candidates=256,
                          min_near=0.05, coarse_steps=64,
-                         march_two_level=two_level, tl_over=over)
+                         march_two_level=two_level, tl_over=over,
+                         tl_group=group, tl_pool=pool, tl_kg=kg)
     tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
                        eval_chunk=2**15, eval_budget_per_ray=48,
                        eval_flat_frac=0.28, random_bg=False,
@@ -82,6 +84,14 @@ def main():
         run_arm("2l over=1.5", True, 1.5, eval_cmp=True)
     if "o20" in arms:
         run_arm("2l over=2.0", True, 2.0, eval_cmp=True)
+    # Round-4 arms informed by the eval-regression root cause: the per-ray
+    # kept-group stride (kg) clumps TRAIN samples exactly like it clumped
+    # eval samples, and the 32^3 pooled view admits ~2x the group demand.
+    if "g4" in arms:
+        run_arm("2l o2.0 g4/p64", True, 2.0, eval_cmp=True, group=4, pool=64)
+    if "g4k" in arms:
+        run_arm("2l o2.0 g4 kg-1", True, 2.0, eval_cmp=True, group=4,
+                pool=64, kg=-1)
 
 
 if __name__ == "__main__":

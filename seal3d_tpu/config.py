@@ -10,9 +10,35 @@ the built-in procedural scene (this image ships no NeRF datasets)."""
 from __future__ import annotations
 
 import argparse
+import os
 
 from seal3d_tpu.render.renderer import RenderOptions
 from seal3d_tpu.train.trainer import TrainConfig
+
+
+def enable_compile_cache():
+    """Persistent on-disk XLA compilation cache for the CLIs.
+
+    Multi-stage recipes (teacher train -> seal edit -> eval/video) run as
+    separate processes, and on the tunneled TPU every jit compile is a
+    10-60 s remote RPC; >=60% of the bbox-edit wall-clock was re-compiling
+    programs an earlier stage already built (PERFORMANCE.md round 2). The
+    cache serves identical executables across processes. TPU-only: XLA:CPU
+    AOT reload warns about machine-feature mismatch with SIGILL risk.
+    SEAL3D_CACHE_DIR relocates it; SEAL3D_NO_CACHE=1 disables.
+    Call before the first device computation (backend init is fine)."""
+    import jax
+
+    if os.environ.get("SEAL3D_NO_CACHE"):
+        return
+    if jax.default_backend() in ("cpu",):
+        return
+    d = os.environ.get(
+        "SEAL3D_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "seal3d_tpu", "xla"))
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def common_parser(desc: str) -> argparse.ArgumentParser:

@@ -110,6 +110,28 @@ class TrainConfig:
     workspace: Optional[str] = None
 
 
+def _transient_retry(fn, *args, retries=2):
+    """Re-dispatch on TRANSIENT remote-compile transport failures only.
+
+    On the tunneled TPU every jit compile is a remote RPC; the relay
+    occasionally drops a response mid-body ('response body closed before
+    all bytes were read'), which surfaces as an INTERNAL JaxRuntimeError
+    even though the program is fine — one such hiccup killed an entire
+    bench run at its last eval. Retrying a compile is idempotent. Genuine
+    program errors (OOM, lowering failures) re-raise immediately."""
+    for i in range(retries + 1):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            transient = ("remote_compile" in str(e)
+                         or "body closed" in str(e))
+            if i == retries or not transient:
+                raise
+            print(f"[retry] transient compile-RPC failure, retrying "
+                  f"({i + 1}/{retries}): {str(e)[:120]}")
+            time.sleep(10.0 * (i + 1))
+
+
 def _scale_non_encoder(scale: float):
     """Optax transform: multiply updates of non-encoder param groups (MLPs)
     by `scale` — the functional form of the reference's per-group LRs
@@ -433,6 +455,7 @@ class Trainer:
         # the bucket jits.
         if eval_key_fresh:
             self._eval_demand = None
+            self._eval_demand_all = None
         if (getattr(self, "_eval_demand", None) is None
                 and cfg.eval_adaptive and cfg.eval_flat_frac is not None
                 and not self.use_dense and opts.compaction == "topk"):
@@ -466,6 +489,18 @@ class Trainer:
                 return keep.sum()
 
             self._eval_demand = jax.jit(eval_demand)
+
+            def eval_demand_all(bitfield, rays_o_c, rays_d_c, occ_aabb=None):
+                """Per-chunk demands for a whole image in ONE dispatch:
+                [n_chunks, chunk, 3] rays -> [n_chunks] counts. lax.map
+                keeps the [chunk, C] candidate tensors one-chunk-at-a-time;
+                a single host sync replaces one tunnel round trip per
+                chunk."""
+                return jax.lax.map(
+                    lambda rr: eval_demand(bitfield, rr[0], rr[1], occ_aabb),
+                    (rays_o_c, rays_d_c))
+
+            self._eval_demand_all = jax.jit(eval_demand_all)
 
     # -------------------------------------------------------------- main loops
 
@@ -615,31 +650,45 @@ class Trainer:
         params = self.state.ema_params if use_ema else self.state.params
         rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
         n = h * w
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        ro_c = jnp.pad(rays["rays_o"], ((0, pad), (0, 0))) \
+            .reshape(n_chunks, chunk, 3)
+        rd_c = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)),
+                       constant_values=1.0).reshape(n_chunks, chunk, 3)
+
+        # Per-chunk flat_frac buckets: smallest bucket covering each chunk's
+        # exact demand (1.02 absorbs the budget's round-to-128 and the
+        # group-budget headroom), CAPPED at eval_flat_frac. Under the cap
+        # the bucket is lossless (no thinning); at the cap the render is
+        # bit-identical to the fixed-frac render (same budget, same graceful
+        # thinning) — adaptive can only remove cost, never change the image.
+        # Without the cap the 2l kg=-1 demand (no per-ray k cap) pushed
+        # dense chunks to the 1.0/dense-grid bucket, which measured SLOWER
+        # than single-level at 800x800 (BENCH r4 first run: 3.93 s vs 2.82).
+        # All demands come back in ONE dispatch + ONE host sync.
+        buckets = [None] * n_chunks
+        if self._eval_demand is not None:
+            cnts = np.asarray(_transient_retry(
+                self._eval_demand_all, self.state.occ.bitfield, ro_c, rd_c,
+                self.state.occ.occ_aabb))
+            cap = chunk * self.cfg.eval_budget_per_ray
+            for ci, cnt in enumerate(cnts):
+                need = min(float(cnt) * 1.02 / cap, 1.0)
+                b = next((b for b in self.cfg.eval_buckets if b >= need), 1.0)
+                buckets[ci] = min(b, self.cfg.eval_flat_frac)
+
         imgs, deps = [], []
         bg = jnp.full((chunk, 3), bg_color, jnp.float32)
-        for i in range(0, n, chunk):
-            ro = rays["rays_o"][i : i + chunk]
-            rd = rays["rays_d"][i : i + chunk]
-            if ro.shape[0] < chunk:  # pad final chunk to keep shapes static
-                pad = chunk - ro.shape[0]
-                ro = jnp.pad(ro, ((0, pad), (0, 0)))
-                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            fn = self._render_eval
-            if self._eval_demand is not None:
-                # lossless bucket: smallest flat_frac whose budget covers
-                # the chunk's exact demand (1.02 absorbs the budget's
-                # round-to-128 and the group-budget headroom)
-                cnt = int(self._eval_demand(self.state.occ.bitfield, ro, rd,
-                                            self.state.occ.occ_aabb))
-                cap = chunk * self.cfg.eval_budget_per_ray
-                need = min(cnt * 1.02 / cap, 1.0)
-                bucket = next((b for b in self.cfg.eval_buckets
-                               if b >= need), 1.0)
-                fn = self._render_eval_at(None if bucket >= 1.0 else bucket)
-            out = fn(params, self.state.occ.bitfield, ro, rd, bg,
-                     jax.random.PRNGKey(0), self.state.occ.occ_aabb)
-            imgs.append(out["image"][: min(chunk, n - i)])
-            deps.append(out["depth"][: min(chunk, n - i)])
+        for ci in range(n_chunks):
+            fn = (self._render_eval if buckets[ci] is None
+                  else self._render_eval_at(buckets[ci]))
+            out = _transient_retry(
+                fn, params, self.state.occ.bitfield, ro_c[ci], rd_c[ci], bg,
+                jax.random.PRNGKey(0), self.state.occ.occ_aabb)
+            keep = min(chunk, n - ci * chunk)
+            imgs.append(out["image"][:keep])
+            deps.append(out["depth"][:keep])
         return (jnp.concatenate(imgs).reshape(h, w, 3),
                 jnp.concatenate(deps).reshape(h, w))
 
