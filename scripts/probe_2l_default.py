@@ -63,6 +63,8 @@ def main():
         ("1l f375 (ref)", dict(eval_flat_frac=0.375, eval_two_level=False)),
         ("2l o2.0 f28", dict(eval_flat_frac=0.28, eval_tl_over=2.0, **base)),
         ("2l o2.5 f35", dict(eval_flat_frac=0.35, eval_tl_over=2.5, **base)),
+        ("2l o2.5 f28", dict(eval_flat_frac=0.28, eval_tl_over=2.5, **base)),
+        ("2l o3.0 f28", dict(eval_flat_frac=0.28, eval_tl_over=3.0, **base)),
         ("2l o2.5 f50", dict(eval_flat_frac=0.5, eval_tl_over=2.5, **base)),
         ("2l o2.0 f35", dict(eval_flat_frac=0.35, eval_tl_over=2.0, **base)),
     ]

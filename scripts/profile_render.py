@@ -127,17 +127,36 @@ def main():
     # Two-level march variants (march_rays_flat_2level / rounds-2level):
     # march in isolation + full chunk + terminated rounds.
     from seal3d_tpu.ops.raymarch import march_rays_flat_2level
+    # Profile at the round-4 default machinery (g4/pool64/kg-1; the
+    # regression-fixed point) AND split level 1 (group_plan) from the
+    # repack+expand, so the g4 sort cost is attributable.
+    from seal3d_tpu.ops.raymarch import group_plan
+    tl_g, tl_kg, tl_pool, tl_over = 4, -1, 64, 2.0
+    gp_j = jax.jit(lambda bf, o, d: group_plan(
+        o, d, bf, bound=eval_opts.bound, cascades=eval_opts.cascades,
+        max_steps=eval_opts.max_steps, k=k,
+        num_candidates=eval_opts.num_candidates, group=tl_g,
+        min_near=eval_opts.min_near, aabb=aabb,
+        coarse_steps=eval_opts.coarse_steps, kg=tl_kg, pool=tl_pool))
+    gp = gp_j(bitfield, ro, rd)
+    _sync(gp.keep)
+    print(f"group_plan g{tl_g}/p{tl_pool}  kept={int(gp.keep.sum())}  "
+          f"{timeit(gp_j, bitfield, ro, rd):8.2f} ms", flush=True)
+
     tl_j = jax.jit(lambda bf, o, d: march_rays_flat_2level(
         o, d, bf, bound=eval_opts.bound, cascades=eval_opts.cascades,
         max_steps=eval_opts.max_steps, k=k, budget=budget,
         num_candidates=eval_opts.num_candidates, min_near=eval_opts.min_near,
         aabb=aabb, occ_stride=eval_opts.occ_stride,
-        coarse_steps=eval_opts.coarse_steps, group=8, over=1.5))
+        coarse_steps=eval_opts.coarse_steps, group=tl_g, over=tl_over,
+        kg=tl_kg, pool=tl_pool))
     mf2 = tl_j(bitfield, ro, rd)
     _sync(mf2.xyzs)
     print(f"march 2level  valid={int(mf2.valid.sum())}  "
           f"{timeit(tl_j, bitfield, ro, rd):8.2f} ms", flush=True)
-    tl_opts = dataclasses.replace(eval_opts, march_two_level=True, tl_group=8)
+    tl_opts = dataclasses.replace(eval_opts, march_two_level=True,
+                                  tl_group=tl_g, tl_kg=tl_kg,
+                                  tl_pool=tl_pool, tl_over=tl_over)
     tl_full_j = jax.jit(lambda p, bf, o, d: render_rays(
         p, field, cfg, bf, o, d, tl_opts, bg_color=bg, aabb=aabb))
     out2 = tl_full_j(params, bitfield, ro, rd)
