@@ -1,16 +1,29 @@
 """Benchmark: NGP training + rendering throughput on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints a CUMULATIVE JSON result line after EVERY completed section (the
+last line printed is the most complete; a crash/timeout mid-run still
+leaves every earlier section's numbers on stdout — rounds 3 and 4 were
+dark because the old bench printed once at the very end and the driver's
+run crashed / timed out before reaching it).
 
 Headline metric (BASELINE.json): rays/sec of the lego-recipe NGP training
 step (4096 rays/iter, occupancy fast path with the fused Pallas hash-encode
-kernel + adaptive sample budget, grid updates every 16 steps included), plus
-an 800x800 render throughput check, the PSNR of a short run, and the
-HARD-SCENE CAPACITY ABLATION the round-1 verdict demanded: the same recipe
-trained on a thin-structure/high-frequency scene (data/synthetic.HardSynthetic
-Scene) with the pallas T=2^15 fast path vs the reference-capacity bucket
-T=2^19 path, reporting both PSNRs and the gap. No NeRF dataset ships in this
-image, so both scenes are procedural analytic stand-ins.
+kernel + adaptive sample budget, grid updates every 16 steps included).
+Further sections: PSNR of a short run, an 800x800 render at the default
+two-level demand-adaptive eval point (with a single-level parity check), a
+16k-ray max-throughput arm, the HARD-SCENE CAPACITY ABLATION (halo@2^15 /
+halo@2^18 / bucket@2^19), and a bound=2 multi-cascade arm. No NeRF dataset
+ships in this image, so the scenes are procedural analytic stand-ins.
+
+Robustness contract (VERDICT r4 item 1):
+  - the persistent XLA compile cache is enabled before any jax work (every
+    fresh jit compile is a 60-100 s remote RPC through the TPU tunnel; a
+    warm cache turns the whole bench into pure run time);
+  - an internal wall-clock budget (SEAL3D_BENCH_BUDGET_S, default 1400 s)
+    skips remaining optional sections before the driver's ~1800 s kill;
+  - optional sections run under try/except — a failure records an error
+    key and the bench moves on;
+  - SIGTERM re-emits the current cumulative line before exiting.
 
 vs_baseline: the reference recipe trains 30k iters x 4096 rays in ~5 min on
 a single NVIDIA GPU (readme.md:91, assets/update_logs.md) ~= 410k train
@@ -19,21 +32,48 @@ rays/sec; we report value / 410_000.
 
 import json
 import os
+import signal
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 REF_TRAIN_RAYS_PER_SEC = 410_000.0
 _HERE = os.path.dirname(os.path.abspath(__file__))
+_T_START = time.time()
+_BUDGET_S = float(os.environ.get("SEAL3D_BENCH_BUDGET_S", "1400"))
+
+RESULT = {
+    "metric": "train_rays_per_sec",
+    "value": 0,
+    "unit": "rays/s",
+    "vs_baseline": 0.0,
+    "extra": {},
+}
+
+
+def emit():
+    print(json.dumps(RESULT), flush=True)
+
+
+def time_left():
+    return _BUDGET_S - (time.time() - _T_START)
+
+
+def _on_term(signum, frame):
+    RESULT["extra"]["terminated_at_s"] = round(time.time() - _T_START, 1)
+    emit()
+    os._exit(0)
 
 
 def _sync(x):
+    import jax
+    import jax.numpy as jnp
+
     jax.device_get(jnp.ravel(jax.tree.leaves(x)[0])[0])
 
 
 def _cached_dataset(scene, cache_name, n_views=12, h=256, w=256):
+    import numpy as np
+
     from seal3d_tpu.data.provider import NeRFDataset
 
     cache = os.path.join(_HERE, cache_name)
@@ -48,12 +88,16 @@ def _cached_dataset(scene, cache_name, n_views=12, h=256, w=256):
     return ds
 
 
-def hard_capacity_ablation(steps=500):
-    """Train the hard scene with three arms — halo@2^15 (the -O fast path),
-    halo@2^18 (the next cubic-wrap capacity rung), and bucket@2^19
-    (reference-capacity tables) — same recipe otherwise; report PSNR at
-    equal step counts and the wall-clocks (VERDICT r1 items 4/5; the 2^18
-    arm and this docstring are VERDICT r2 item 6)."""
+def hard_capacity_arm(tag, backend, gridtype, log2t, rays, steps):
+    """One hard-scene capacity arm (VERDICT r1 items 4/5, r2 item 6): the
+    thin-structure/high-frequency HardSyntheticScene trained with the given
+    grid backend/table size, reporting PSNR at `steps` and the wall-clock.
+    halo15 is the -O fast path (capacity cliff at 2^14->2^15, wrap beats
+    hash +1.2 dB at equal T); halo18 the next cubic-wrap capacity rung
+    (level-blocked backward, c7b6bbd); bucket19 reference-capacity tables
+    (gridencoder.cu:245-337 trains any T — table stakes)."""
+    import jax
+
     from seal3d_tpu.data.synthetic import HardSyntheticScene
     from seal3d_tpu.models import ngp
     from seal3d_tpu.models.ngp import NGPConfig
@@ -62,42 +106,29 @@ def hard_capacity_ablation(steps=500):
 
     ds = _cached_dataset(HardSyntheticScene(), ".bench_dataset_hard.npz",
                          n_views=12, h=192, w=192)
-    out = {}
-    # arms: the -O fast path (halo kernel over the wrap gridtype @2^15 —
-    # the capacity cliff sits at 2^14->2^15, and wrap BEAT hash by +1.2 dB
-    # at equal T on this scene; sweeps in PERFORMANCE.md) vs full reference
-    # capacity via the sorted-bucket backend (take fwd + bucket scatter bwd
-    # @2^19 — 10x faster than the xla scatter it replaced).
-    for tag, backend, gridtype, log2t, rays in (
-            ("halo15", "halo", "wrap", 15, 4096),
-            ("halo18", "halo", "wrap", 18, 4096),
-            ("bucket19", "bucket", "hash", 19, 2048)):
-        fcfg = NGPConfig(bound=1.0, log2_hashmap_size=log2t,
-                         grid_backend=backend, gridtype=gridtype)
-        opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
-                             budget_per_ray=48, num_candidates=256,
-                             min_near=0.05, coarse_steps=64)
-        # bucket@19 eval materializes [chunk*budget, L, 8] gather indices —
-        # keep chunk*budget ~2^18 or the 800x800 eval OOMs HBM.
-        tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=rays,
-                           eval_chunk=2048 if backend == "bucket" else 2**14,
-                           eval_budget_per_ray=96,
-                           random_bg=False, adaptive_budget=True)
-        tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
-                     key=jax.random.PRNGKey(0))
-        tr.init_state()
-        t0 = time.time()
-        tr.train(steps=steps, silent=True, blocked=True, log_every=10**9)
-        _sync(tr.state.params)
-        wall = time.time() - t0
-        psnr = tr.evaluate(max_views=2)
-        out[f"psnr_hard_{tag}"] = round(psnr, 2)
-        out[f"steps_hard_{tag}"] = steps
-        out[f"wall_hard_{tag}_s"] = round(wall, 1)
-        del tr
-    out["capacity_gap_db"] = round(
-        out["psnr_hard_bucket19"] - out["psnr_hard_halo15"], 2)
-    return out
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=log2t,
+                     grid_backend=backend, gridtype=gridtype)
+    opts = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                         budget_per_ray=48, num_candidates=256,
+                         min_near=0.05, coarse_steps=64)
+    # bucket@19 eval materializes [chunk*budget, L, 8] gather indices —
+    # keep chunk*budget ~2^18 or the eval OOMs HBM.
+    tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=rays,
+                       eval_chunk=2048 if backend == "bucket" else 2**14,
+                       eval_budget_per_ray=96,
+                       random_bg=False, adaptive_budget=True)
+    tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
+                 key=jax.random.PRNGKey(0))
+    tr.init_state()
+    t0 = time.time()
+    tr.train(steps=steps, silent=True, blocked=True, log_every=10**9)
+    _sync(tr.state.params)
+    wall = time.time() - t0
+    psnr = tr.evaluate(max_views=2)
+    del tr
+    return {f"psnr_hard_{tag}": round(psnr, 2),
+            f"steps_hard_{tag}": steps,
+            f"wall_hard_{tag}_s": round(wall, 1)}
 
 
 def wide_bound2_bench(steps=400):
@@ -107,6 +138,8 @@ def wide_bound2_bench(steps=400):
     Uses the reference fox recipe's marching shape: dt_gamma=1/128,
     cone-stepped ladder (two-level march is single-cascade-only and
     auto-disabled by its gate here)."""
+    import jax
+
     from seal3d_tpu.data.synthetic import WideSyntheticScene
     from seal3d_tpu.models import ngp
     from seal3d_tpu.models.ngp import NGPConfig
@@ -133,20 +166,37 @@ def wide_bound2_bench(steps=400):
     _sync(tr.state.params)
     rate = steps * tcfg.num_rays / (time.time() - t0)
     psnr = tr.evaluate(max_views=1)
+    del tr
     return {"wide_bound2_rays_per_sec": round(rate),
             "wide_bound2_psnr": round(psnr, 2)}
 
 
 def main():
+    signal.signal(signal.SIGTERM, _on_term)
+    # Persistent compile cache BEFORE any jax work: the whole bench is
+    # ~60-100 s of remote-compile RPC per fresh program without it
+    # (config.py:20-41; wired into the CLIs in round 4, into the bench
+    # itself this round — the one script the driver runs).
+    from seal3d_tpu.config import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from seal3d_tpu.data.synthetic import SyntheticScene
     from seal3d_tpu.models import ngp
     from seal3d_tpu.models.ngp import NGPConfig
     from seal3d_tpu.render.renderer import RenderOptions
     from seal3d_tpu.train.trainer import TrainConfig, Trainer
 
+    extra = RESULT["extra"]
+    extra["device"] = str(jax.devices()[0])
+
     t0 = time.time()
     ds = _cached_dataset(SyntheticScene(), ".bench_dataset.npz")
-    t_data = time.time() - t0
+    extra["dataset_gen_s"] = round(time.time() - t0, 1)
 
     fcfg = NGPConfig(bound=1.0, log2_hashmap_size=15, grid_backend="halo",
                      gridtype="wrap")
@@ -164,6 +214,7 @@ def main():
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
     tr.init_state()
 
+    # ---- section 1: headline training throughput --------------------------
     # Warmup: compiles + first grid updates + a few steps.
     tr.train(steps=48, silent=True, blocked=True)
     _sync(tr.state.params)
@@ -175,14 +226,14 @@ def main():
     tr.train(steps=n_timed, silent=True, blocked=True, log_every=10**9)
     _sync(tr.state.params)
     t_train = time.time() - t0
-    early_rays_per_sec = n_timed * tcfg.num_rays / t_train
+    extra["early_phase_rays_per_sec"] = round(n_timed * tcfg.num_rays / t_train)
+    extra["train_time_128_steps_s"] = round(t_train, 2)
 
     # Short convergence run so the PSNR/render numbers are meaningful.
     t0 = time.time()
     tr.train(steps=400, silent=True, blocked=True, log_every=10**9)
     _sync(tr.state.params)
-    t_converge = time.time() - t0
-    psnr = tr.evaluate(max_views=1)
+    extra["converge_400_steps_s"] = round(time.time() - t0, 1)
 
     # HEADLINE: sustained recipe throughput. The adaptive budget has settled
     # by now; >95% of the reference's 30k-iter recipe runs at this rate
@@ -191,86 +242,124 @@ def main():
     tr.train(steps=96, silent=True, blocked=True, log_every=10**9)
     _sync(tr.state.params)
     train_rays_per_sec = 96 * tcfg.num_rays / (time.time() - t0)
+    RESULT["value"] = round(train_rays_per_sec)
+    RESULT["vs_baseline"] = round(train_rays_per_sec / REF_TRAIN_RAYS_PER_SEC,
+                                  4)
+    emit()
 
-    # Max-throughput operating point (bigger ray batches, tighter budget).
-    tcfg_big = TrainConfig(lr=1e-2, max_steps=30000, num_rays=16384,
-                           random_bg=False, adaptive_budget=True)
-    opts_big = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
-                             budget_per_ray=32, num_candidates=256,
-                             min_near=0.05, coarse_steps=64)
-    tr_big = Trainer(ngp, fcfg, opts_big, tcfg_big, dataset=ds,
-                     key=jax.random.PRNGKey(1))
-    tr_big.init_state()
-    tr_big.train(steps=48, silent=True, blocked=True)
-    _sync(tr_big.state.params)
-    t0 = time.time()
-    tr_big.train(steps=96, silent=True, blocked=True, log_every=10**9)
-    _sync(tr_big.state.params)
-    big_rays_per_sec = 96 * tcfg_big.num_rays / (time.time() - t0)
-    del tr_big
+    # ---- section 2: PSNR of the short run ---------------------------------
+    try:
+        extra["psnr_synthetic_576_steps"] = round(tr.evaluate(max_views=1), 2)
+    except Exception as e:  # noqa: BLE001 - record and continue
+        extra["error_psnr"] = str(e)[:200]
+    emit()
 
-    # Timed 800x800 render (the reference's headline render size) at the
-    # DEFAULT eval point: two-level march + demand-adaptive buckets. The
-    # warmup render compiles the demand probe and every bucket this pose
-    # demands; the timed render reuses them (deterministic demand).
-    h = w = 800
-    fx = float(ds.intrinsics[0]) * (w / ds.w)
-    tr._intrinsics = jnp.asarray(np.array([fx, fx, w / 2, h / 2], np.float32))
-    img, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
-    _sync(img)
-    t0 = time.time()
-    img, _ = tr.render_image(ds.poses[0], h, w)
-    _sync(img)
-    t_render = t_render_2l = time.time() - t0
+    # ---- section 3: timed 800x800 render (default 2l adaptive point) ------
+    try:
+        h = w = 800
+        fx = float(ds.intrinsics[0]) * (w / ds.w)
+        tr._intrinsics = jnp.asarray(
+            np.array([fx, fx, w / 2, h / 2], np.float32))
+        img, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
+        _sync(img)
+        t0 = time.time()
+        img, _ = tr.render_image(ds.poses[0], h, w)
+        _sync(img)
+        t_render = t_render_2l = time.time() - t0
+        extra["render_s_per_frame_2l_800x800"] = round(t_render_2l, 3)
+        extra["render_rays_per_sec_800x800"] = round(h * w / t_render)
+        emit()
 
-    # Single-level fixed-budget reference render: timing context + a parity
-    # self-check on the default point (>= 25 dB inter-image — loose enough
-    # for budget-level sampling differences, tight enough to catch the ~9 dB
-    # structural-collapse class the round-3 regression was). If parity ever
-    # fails, the bench reports the SAFE single-level timing as headline.
-    import dataclasses
-    import math
-    tr.cfg = dataclasses.replace(tr.cfg, eval_two_level=False,
-                                 eval_adaptive=False, eval_flat_frac=0.375)
-    tr._build_steps(tr._loss_override)
-    img1, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
-    _sync(img1)
-    t0 = time.time()
-    img1, _ = tr.render_image(ds.poses[0], h, w)
-    _sync(img1)
-    t_render_1l = time.time() - t0
-    mse = float(jnp.mean((jnp.clip(img, 0, 1) - jnp.clip(img1, 0, 1)) ** 2))
-    render_2l_parity_db = 10.0 * math.log10(1.0 / max(mse, 1e-10))
-    if render_2l_parity_db < 25.0:
-        t_render = t_render_1l
-    render_rays_per_sec = h * w / t_render
+        # Single-level fixed-budget reference render: timing context + a
+        # parity self-check on the default point (>= 25 dB inter-image —
+        # loose enough for budget-level sampling differences, tight enough
+        # to catch the ~9 dB structural-collapse class the round-3
+        # regression was). If parity ever fails, the bench reports the SAFE
+        # single-level timing as headline.
+        import dataclasses
+        import math
+        tr.cfg = dataclasses.replace(tr.cfg, eval_two_level=False,
+                                     eval_adaptive=False,
+                                     eval_flat_frac=0.375)
+        tr._build_steps(tr._loss_override)
+        img1, _ = tr.render_image(ds.poses[0], h, w)  # warmup/compile
+        _sync(img1)
+        t0 = time.time()
+        img1, _ = tr.render_image(ds.poses[0], h, w)
+        _sync(img1)
+        t_render_1l = time.time() - t0
+        mse = float(jnp.mean(
+            (jnp.clip(img, 0, 1) - jnp.clip(img1, 0, 1)) ** 2))
+        parity_db = 10.0 * math.log10(1.0 / max(mse, 1e-10))
+        if parity_db < 25.0:
+            t_render = t_render_1l
+            extra["render_s_per_frame_2l_800x800"] = round(t_render_1l, 3)
+            extra["render_rays_per_sec_800x800"] = round(h * w / t_render)
+        extra["render_2l_parity_db"] = round(parity_db, 2)
+        extra["render_s_per_frame_1l_800x800"] = round(t_render_1l, 3)
+    except Exception as e:  # noqa: BLE001
+        extra["error_render"] = str(e)[:200]
     del tr
+    emit()
 
-    hard = hard_capacity_ablation()
-    wide = wide_bound2_bench()
+    # ---- section 4: hard-scene capacity ablation --------------------------
+    # halo15/bucket19 at equal steps rank capacity (the gap key); halo18
+    # needs only enough steps to rank against halo15 (VERDICT r4 item 6).
+    arms = (("halo15", "halo", "wrap", 15, 4096, 300),
+            ("bucket19", "bucket", "hash", 19, 2048, 300),
+            ("halo18", "halo", "wrap", 18, 4096, 150))
+    for tag, backend, gridtype, log2t, rays, steps in arms:
+        if time_left() < 240:
+            extra[f"skipped_hard_{tag}"] = "time budget"
+            continue
+        try:
+            extra.update(hard_capacity_arm(tag, backend, gridtype, log2t,
+                                           rays, steps))
+        except Exception as e:  # noqa: BLE001
+            extra[f"error_hard_{tag}"] = str(e)[:200]
+        emit()
+    if ("psnr_hard_bucket19" in extra and "psnr_hard_halo15" in extra):
+        extra["capacity_gap_db"] = round(
+            extra["psnr_hard_bucket19"] - extra["psnr_hard_halo15"], 2)
+        emit()
 
-    result = {
-        "metric": "train_rays_per_sec",
-        "value": round(train_rays_per_sec),
-        "unit": "rays/s",
-        "vs_baseline": round(train_rays_per_sec / REF_TRAIN_RAYS_PER_SEC, 4),
-        "extra": {
-            "early_phase_rays_per_sec": round(early_rays_per_sec),
-            "max_throughput_rays_per_sec_16k_batch": round(big_rays_per_sec),
-            "render_rays_per_sec_800x800": round(render_rays_per_sec),
-            "render_2l_parity_db": round(render_2l_parity_db, 2),
-            "render_s_per_frame_1l_800x800": round(t_render_1l, 3),
-            "render_s_per_frame_2l_800x800": round(t_render_2l, 3),
-            "psnr_synthetic_576_steps": round(psnr, 2),
-            "train_time_128_steps_s": round(t_train, 2),
-            "converge_400_steps_s": round(t_converge, 1),
-            "dataset_gen_s": round(t_data, 1),
-            "device": str(jax.devices()[0]),
-            **hard,
-            **wide,
-        },
-    }
-    print(json.dumps(result))
+    # ---- section 5: bound=2 multi-cascade arm -----------------------------
+    if time_left() > 180:
+        try:
+            extra.update(wide_bound2_bench())
+        except Exception as e:  # noqa: BLE001
+            extra["error_wide"] = str(e)[:200]
+    else:
+        extra["skipped_wide"] = "time budget"
+    emit()
+
+    # ---- section 6: max-throughput operating point (16k-ray batches) ------
+    if time_left() > 150:
+        try:
+            tcfg_big = TrainConfig(lr=1e-2, max_steps=30000, num_rays=16384,
+                                   random_bg=False, adaptive_budget=True)
+            opts_big = RenderOptions(bound=1.0, dt_gamma=0.0, max_steps=512,
+                                     budget_per_ray=32, num_candidates=256,
+                                     min_near=0.05, coarse_steps=64)
+            tr_big = Trainer(ngp, fcfg, opts_big, tcfg_big, dataset=ds,
+                             key=jax.random.PRNGKey(1))
+            tr_big.init_state()
+            tr_big.train(steps=48, silent=True, blocked=True)
+            _sync(tr_big.state.params)
+            t0 = time.time()
+            tr_big.train(steps=96, silent=True, blocked=True,
+                         log_every=10**9)
+            _sync(tr_big.state.params)
+            extra["max_throughput_rays_per_sec_16k_batch"] = round(
+                96 * tcfg_big.num_rays / (time.time() - t0))
+            del tr_big
+        except Exception as e:  # noqa: BLE001
+            extra["error_big_batch"] = str(e)[:200]
+    else:
+        extra["skipped_big_batch"] = "time budget"
+
+    extra["bench_wall_s"] = round(time.time() - _T_START, 1)
+    emit()
 
 
 if __name__ == "__main__":

@@ -44,9 +44,13 @@ def run_arm(tag, two_level, over, steps=1216, timed=96, eval_cmp=False,
                          min_near=0.05, coarse_steps=64,
                          march_two_level=two_level, tl_over=over,
                          tl_group=group, tl_pool=pool, tl_kg=kg)
+    # Round-5: eval at the FIXED default operating point (two-level kg=-1
+    # g4/pool64 + demand-adaptive buckets capped at 0.5 — TrainConfig
+    # defaults) so the arms differ ONLY in the TRAIN march (VERDICT r4
+    # item 2: "A/B at the fixed eval point").
     tcfg = TrainConfig(lr=1e-2, max_steps=30000, num_rays=4096,
                        eval_chunk=2**15, eval_budget_per_ray=48,
-                       eval_flat_frac=0.28, random_bg=False,
+                       eval_flat_frac=0.5, random_bg=False,
                        adaptive_budget=True)
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds, key=jax.random.PRNGKey(0))
     tr.init_state()

@@ -78,3 +78,32 @@ def shard_rays(tree, mesh: Optional[Mesh]):
         ),
         tree,
     )
+
+
+def find_batch_collectives(hlo_text: str, min_elems: int) -> list:
+    """Scan a partitioned HLO module for batch-scale collectives.
+
+    The DP scaling guard (PERFORMANCE.md round 4b): the flat-path train
+    step must never all-gather the [N, C] march candidates — when it did,
+    everything downstream of the gather (including the field, ~86% of the
+    step) ran replicated and 8 chips trained at 1-chip speed. Small
+    [N]-sized per-ray gathers (composite offsets, a few KB) are fine;
+    anything holding >= `min_elems` elements is an offender. Used by
+    tests/test_parallel.py and asserted on every driver round by
+    __graft_entry__.dryrun_multichip."""
+    import re
+
+    pat = re.compile(
+        r'^\s*(?:ROOT\s+)?%?[\w.\-]+ = (\S+) (all-gather|all-reduce|'
+        r'reduce-scatter|all-to-all)\(', re.M)
+    offenders = []
+    for m in pat.finditer(hlo_text):
+        shape = m.group(1)
+        dims = re.findall(r'\[([0-9,]*)\]', shape)
+        nelem = 1
+        if dims and dims[0]:
+            for d in dims[0].split(','):
+                nelem *= int(d)
+        if nelem >= min_elems:
+            offenders.append(f"{m.group(2)} {shape}")
+    return offenders

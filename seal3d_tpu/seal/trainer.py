@@ -424,9 +424,19 @@ class SealTrainer(Trainer):
             bitfield=hack_bitfield(self.state.occ.bitfield, self._hack_bytes,
                                    self._hack_masks)))
         data = tuple(self.pretrain_data[k] for k in self.pretrain_data)
-        params, self._pre_opt_state, ema, losses = self._pretrain_block(
-            self.state.params, self._pre_opt_state, self.state.ema_params,
-            data, n_epochs)
+        try:
+            params, pre_opt_state, ema, losses = self._pretrain_block(
+                self.state.params, self._pre_opt_state, self.state.ema_params,
+                data, n_epochs)
+        except BaseException:
+            # The block donates _pre_opt_state; a mid-call failure (retrace
+            # OOM, transport error) may have invalidated that buffer at
+            # dispatch. Rebuild it from the live params so the trainer stays
+            # usable — params/ema are never donated here, so self.state is
+            # intact (VERDICT r4 item 8).
+            self._pre_opt_state = self._pre_opt.init(self.state.params)
+            raise
+        self._pre_opt_state = pre_opt_state
         self.state = self.state._replace(params=params, ema_params=ema)
         return np.asarray(losses)
 

@@ -91,6 +91,17 @@ class TrainConfig:
     eval_adaptive: bool = True
     eval_buckets: tuple = (0.0625, 0.125, 0.1875, 0.25, 0.375, 0.5,
                            0.625, 0.75, 1.0)
+    # Tile-ordered eval chunks: full-image renders chunk by 2D TILES
+    # (th x tw = eval_chunk pixels) instead of scanlines. Scanline chunks
+    # at 800x800 span the full image width, so EVERY chunk mixes object
+    # and background and demand-adaptivity has nothing to adapt to; tiles
+    # give the demand probe spatial locality — background tiles render at
+    # the smallest bucket or, when their demand is exactly zero (and no
+    # background net runs), skip the render entirely. Output is assembled
+    # through an inverse permutation; pad slots use rays that miss the
+    # scene AABB (zero demand, zero budget). Requires a power-of-two
+    # eval_chunk; other sizes fall back to scanline chunking.
+    eval_tile_chunks: bool = True
     random_bg: bool = True
     error_map: bool = False
     # Adapt RenderOptions.flat_frac to the measured valid-sample occupancy
@@ -183,7 +194,14 @@ class Trainer:
                 .get("data", 1)
             if n_data > 1:
                 import dataclasses as _dc
-                self.opts = opts = _dc.replace(opts, pack_shards=n_data)
+                # The two-level TRAIN march has no per-shard pack yet (its
+                # group pack is a global sort, which the SPMD partitioner
+                # would all-gather — the probe_dp_hlo regression class);
+                # under a data mesh fall back to the single-level sharded
+                # pack. Eval paths (host-chunked, unsharded) keep their own
+                # two-level setting via TrainConfig.eval_two_level.
+                self.opts = opts = _dc.replace(opts, pack_shards=n_data,
+                                               march_two_level=False)
         self.name = name
         self.use_dense = use_dense
         # optional params-regularizer, e.g. TensoRF L1 density sparsity
@@ -456,21 +474,37 @@ class Trainer:
         if eval_key_fresh:
             self._eval_demand = None
             self._eval_demand_all = None
+        # Group-pack parameters of the 2l eval path, mirrored for the
+        # adaptive bucket selection in render_image (budget_g formula of
+        # march_rays_flat_2level / pack_groups_expand_fine).
+        self._eval_tl_uncapped = (eval_opts0.two_level_ok(
+            cfg.eval_budget_per_ray) and eval_opts0.tl_kg == -1)
+        self._eval_tl_over = eval_opts0.tl_over
+        self._eval_tl_group = eval_opts0.tl_group
         if (getattr(self, "_eval_demand", None) is None
                 and cfg.eval_adaptive and cfg.eval_flat_frac is not None
                 and not self.use_dense and opts.compaction == "topk"):
-            from seal3d_tpu.ops.raymarch import march_candidates
+            from seal3d_tpu.ops.raymarch import group_plan, march_candidates
 
             ek = cfg.eval_budget_per_ray
             # With the two-level kg=-1 eval march, the kept fine samples are
             # EXACTLY the ladder-valid samples (dilated group test is
             # conservative, fine test re-applies ladder validity), so the
-            # ladder count is the exact demand. Single-level applies the
-            # per-ray stride cap first — same formula as compact_flat_*.
-            uncapped = (eval_opts0.two_level_ok(ek)
-                        and eval_opts0.tl_kg == -1)
+            # ladder count is the exact fine demand; the dilated-group count
+            # (an identical group_plan) is the exact GROUP demand — both
+            # must fit their budgets for a bucket to be lossless (the group
+            # budget thins real groups on overflow, ADVICE r4 item 2).
+            # Single-level applies the per-ray stride cap first — same
+            # formula as compact_flat_*.
+            uncapped = self._eval_tl_uncapped
 
-            def eval_demand(bitfield, rays_o, rays_d, occ_aabb=None):
+            def eval_demand(bitfield, rays_o, rays_d, occ_aabb=None,
+                            n_valid=None):
+                """-> [2] int32: (fine sample demand, kept-group demand).
+
+                n_valid masks trailing pad rays out of both counts (the
+                padded tail chunk's pads otherwise march through the scene
+                center and inflate its bucket, ADVICE r4 item 3)."""
                 _, _, valid = march_candidates(
                     rays_o, rays_d, bitfield, eval_opts0.bound,
                     eval_opts0.cascades, eval_opts0.dt_gamma,
@@ -479,26 +513,45 @@ class Trainer:
                     occ_stride=eval_opts0.occ_stride,
                     coarse_steps=eval_opts0.coarse_steps,
                     span_adaptive=eval_opts0.span_adaptive)
+                row_ok = None
+                if n_valid is not None:
+                    row_ok = (jnp.arange(valid.shape[0], dtype=jnp.int32)
+                              < n_valid)[:, None]
+                    valid = valid & row_ok
                 if uncapped:
-                    return valid.sum()
+                    plan = group_plan(
+                        rays_o, rays_d, bitfield, bound=eval_opts0.bound,
+                        cascades=eval_opts0.cascades,
+                        max_steps=eval_opts0.max_steps, k=ek,
+                        num_candidates=eval_opts0.num_candidates,
+                        group=eval_opts0.tl_group,
+                        min_near=eval_opts0.min_near,
+                        aabb=_march_aabb(occ_aabb),
+                        coarse_steps=eval_opts0.coarse_steps, kg=-1,
+                        pool=eval_opts0.tl_pool)
+                    gkeep = plan.keep if row_ok is None \
+                        else plan.keep & row_ok
+                    return jnp.stack([valid.sum(), gkeep.sum()])
                 rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
                 count = rank[:, -1:]
                 stride = jnp.maximum(
                     jnp.ceil(count / ek).astype(jnp.int32), 1)
                 keep = valid & (((rank - 1) % stride) == 0)
-                return keep.sum()
+                return jnp.stack([keep.sum(), jnp.zeros((), jnp.int32)])
 
             self._eval_demand = jax.jit(eval_demand)
 
-            def eval_demand_all(bitfield, rays_o_c, rays_d_c, occ_aabb=None):
+            def eval_demand_all(bitfield, rays_o_c, rays_d_c, occ_aabb=None,
+                                n_valid_c=None):
                 """Per-chunk demands for a whole image in ONE dispatch:
-                [n_chunks, chunk, 3] rays -> [n_chunks] counts. lax.map
+                [n_chunks, chunk, 3] rays -> [n_chunks, 2] counts. lax.map
                 keeps the [chunk, C] candidate tensors one-chunk-at-a-time;
                 a single host sync replaces one tunnel round trip per
                 chunk."""
                 return jax.lax.map(
-                    lambda rr: eval_demand(bitfield, rr[0], rr[1], occ_aabb),
-                    (rays_o_c, rays_d_c))
+                    lambda rr: eval_demand(bitfield, rr[0], rr[1], occ_aabb,
+                                           rr[2]),
+                    (rays_o_c, rays_d_c, n_valid_c))
 
             self._eval_demand_all = jax.jit(eval_demand_all)
 
@@ -642,55 +695,135 @@ class Trainer:
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)
 
+    def _chunk_layout(self, h: int, w: int, chunk: int):
+        """Pixel->chunk-slot layout for full-image renders.
+
+        Returns (sel [n_chunks, chunk] int32 pixel index or -1 for pad,
+        nv [n_chunks] valid-slot counts, inv [h*w] inverse permutation into
+        the flattened chunk outputs). Tile mode (cfg.eval_tile_chunks +
+        power-of-two chunk) maps each chunk to a th x tw image tile with
+        pads sorted to the slot tail; otherwise scanline with a tail pad.
+        Cached per (h, w, chunk, mode)."""
+        mode = bool(self.cfg.eval_tile_chunks)
+        key = (h, w, chunk, mode)
+        cache = getattr(self, "_chunk_layout_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        n = h * w
+        tiled = mode and chunk >= 4 and (chunk & (chunk - 1)) == 0
+        if tiled:
+            import math as _math
+
+            lg = int(_math.log2(chunk))
+            th = 1 << (lg // 2)
+            tw = chunk // th
+            hp = -(-h // th) * th
+            wp = -(-w // tw) * tw
+            pix = np.full((hp, wp), -1, np.int64)
+            pix[:h, :w] = np.arange(n).reshape(h, w)
+            sel = pix.reshape(hp // th, th, wp // tw, tw) \
+                .transpose(0, 2, 1, 3).reshape(-1, chunk)
+            # pads to the slot tail (stable keeps row-major pixel order)
+            order = np.argsort(sel < 0, axis=1, kind="stable")
+            sel = np.take_along_axis(sel, order, axis=1)
+        else:
+            n_chunks = -(-n // chunk)
+            sel = np.concatenate(
+                [np.arange(n, dtype=np.int64),
+                 np.full(n_chunks * chunk - n, -1, np.int64)]) \
+                .reshape(n_chunks, chunk)
+        nv = (sel >= 0).sum(1).astype(np.int32)
+        flat = sel.reshape(-1)
+        inv = np.empty(n, np.int64)
+        inv[flat[flat >= 0]] = np.nonzero(flat >= 0)[0]
+        out = (sel, nv, inv)
+        self._chunk_layout_cache = (key, out)
+        return out
+
     def render_image(self, pose, h: int, w: int, bg_color: float = 1.0,
                      use_ema: bool = True, chunk: Optional[int] = None):
         """Full-image render (staged chunks — reference render() staged path,
-        nerf/renderer.py:554-565)."""
+        nerf/renderer.py:554-565; tile-ordered chunks + zero-demand skip are
+        the TPU-native recast of its alive-ray economics at image scale)."""
         chunk = chunk or self.cfg.eval_chunk
         params = self.state.ema_params if use_ema else self.state.params
         rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
         n = h * w
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
-        ro_c = jnp.pad(rays["rays_o"], ((0, pad), (0, 0))) \
-            .reshape(n_chunks, chunk, 3)
-        rd_c = jnp.pad(rays["rays_d"], ((0, pad), (0, 0)),
-                       constant_values=1.0).reshape(n_chunks, chunk, 3)
+        sel, nv, inv = self._chunk_layout(h, w, chunk)
+        n_chunks = sel.shape[0]
+        selj = jnp.asarray(np.clip(sel, 0, None))
+        slot_ok = jnp.asarray(sel >= 0)[..., None]
+        # Pad slots get rays that MISS the scene AABB entirely (origin
+        # outside, pointing away): zero valid candidates -> zero demand,
+        # zero budget use (march_candidates bounds test).
+        b = self.opts.bound
+        ro_c = jnp.where(slot_ok, rays["rays_o"][selj],
+                         jnp.array([3.0 * b, 0.0, 0.0], jnp.float32))
+        rd_c = jnp.where(slot_ok, rays["rays_d"][selj],
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
 
-        # Per-chunk flat_frac buckets: smallest bucket covering each chunk's
-        # exact demand (1.02 absorbs the budget's round-to-128 and the
-        # group-budget headroom), CAPPED at eval_flat_frac. Under the cap
-        # the bucket is lossless (no thinning); at the cap the render is
-        # bit-identical to the fixed-frac render (same budget, same graceful
-        # thinning) — adaptive can only remove cost, never change the image.
-        # Without the cap the 2l kg=-1 demand (no per-ray k cap) pushed
-        # dense chunks to the 1.0/dense-grid bucket, which measured SLOWER
-        # than single-level at 800x800 (BENCH r4 first run: 3.93 s vs 2.82).
-        # All demands come back in ONE dispatch + ONE host sync.
+        # Per-chunk flat_frac buckets: smallest bucket whose fine budget
+        # covers the chunk's exact sample demand (1.02 absorbs the budget's
+        # round-to-128) AND whose group budget covers its kept-group demand
+        # (2l path; group overflow thins real groups — ADVICE r4 item 2),
+        # CAPPED at eval_flat_frac. Under the cap the bucket is lossless
+        # (no thinning); at the cap the render is bit-identical to the
+        # fixed-frac render (same budget, same graceful thinning) —
+        # adaptive can only remove cost, never change the image. Without
+        # the cap the 2l kg=-1 demand (no per-ray k cap) pushed dense
+        # chunks to the 1.0/dense-grid bucket, which measured SLOWER than
+        # single-level at 800x800 (BENCH r4 first run: 3.93 s vs 2.82).
+        # All demands come back in ONE dispatch + ONE host sync; pad rays
+        # of the tail chunk are masked out of the counts.
         buckets = [None] * n_chunks
-        if self._eval_demand is not None:
+        skip = [False] * n_chunks
+        if self.cfg.eval_adaptive and self._eval_demand is not None:
             cnts = np.asarray(_transient_retry(
                 self._eval_demand_all, self.state.occ.bitfield, ro_c, rd_c,
-                self.state.occ.occ_aabb))
-            cap = chunk * self.cfg.eval_budget_per_ray
-            for ci, cnt in enumerate(cnts):
-                need = min(float(cnt) * 1.02 / cap, 1.0)
-                b = next((b for b in self.cfg.eval_buckets if b >= need), 1.0)
-                buckets[ci] = min(b, self.cfg.eval_flat_frac)
+                self.state.occ.occ_aabb, jnp.asarray(nv)))
+            ek = self.cfg.eval_budget_per_ray
+            g = self._eval_tl_group
+            # A zero-demand chunk (all-background tile) renders to exactly
+            # bg_color at depth 0 — skip the render entirely, unless a
+            # background NET would paint it (bg_radius > 0).
+            can_skip = self.opts.bg_radius <= 0
+            for ci in range(n_chunks):
+                fine, grp = int(cnts[ci, 0]), int(cnts[ci, 1])
+                if fine == 0 and can_skip:
+                    skip[ci] = True
+                    continue
+                pick = 1.0
+                for b in self.cfg.eval_buckets:
+                    budget = max(int(round(chunk * ek * b / 128)) * 128, 128)
+                    if budget < fine * 1.02:
+                        continue
+                    if self._eval_tl_uncapped:
+                        budget_g = max(-(-int(round(
+                            budget * self._eval_tl_over)) // (g * 16)) * 16,
+                            16)
+                        if budget_g < grp:
+                            continue
+                    pick = b
+                    break
+                buckets[ci] = min(pick, self.cfg.eval_flat_frac)
 
         imgs, deps = [], []
         bg = jnp.full((chunk, 3), bg_color, jnp.float32)
         for ci in range(n_chunks):
+            if skip[ci]:
+                imgs.append(bg)
+                deps.append(jnp.zeros((chunk,), jnp.float32))
+                continue
             fn = (self._render_eval if buckets[ci] is None
                   else self._render_eval_at(buckets[ci]))
             out = _transient_retry(
                 fn, params, self.state.occ.bitfield, ro_c[ci], rd_c[ci], bg,
                 jax.random.PRNGKey(0), self.state.occ.occ_aabb)
-            keep = min(chunk, n - ci * chunk)
-            imgs.append(out["image"][:keep])
-            deps.append(out["depth"][:keep])
-        return (jnp.concatenate(imgs).reshape(h, w, 3),
-                jnp.concatenate(deps).reshape(h, w))
+            imgs.append(out["image"])
+            deps.append(out["depth"])
+        invj = jnp.asarray(inv)
+        return (jnp.concatenate(imgs)[invj].reshape(h, w, 3),
+                jnp.concatenate(deps)[invj].reshape(h, w))
 
     def evaluate(self, dataset=None, max_views: Optional[int] = None,
                  bg_color: float = 1.0) -> float:

@@ -152,10 +152,8 @@ def test_dp_flat_pack_train_step_never_gathers_batch():
     8 chips would train no faster than one. Small [N]-sized per-ray gathers
     (composite offsets/accumulators, a few KB) are allowed; anything at
     candidate scale (>= N*C/8 elements) fails."""
-    import re
-
     import __graft_entry__ as g
-    from seal3d_tpu.parallel.mesh import replicate
+    from seal3d_tpu.parallel.mesh import find_batch_collectives, replicate
 
     mesh = make_mesh(jax.devices()[:8])
     ngp, fcfg, opts, tcfg, ds, Trainer = g._setup(n_rays=512, h=16, w=16,
@@ -168,20 +166,7 @@ def test_dp_flat_pack_train_step_never_gathers_batch():
     state = jax.device_put(tr.init_state(), replicate(mesh))
     txt = tr._train_step.lower(state, jax.random.PRNGKey(2)).compile().as_text()
 
-    per_shard = 512 * opts.num_candidates // 8
-    pat = re.compile(
-        r'^\s*(?:ROOT\s+)?%?[\w.\-]+ = (\S+) (all-gather|all-reduce|'
-        r'reduce-scatter|all-to-all)\(', re.M)
-    offenders = []
-    for m in pat.finditer(txt):
-        shape = m.group(1)
-        dims = re.findall(r'\[([0-9,]*)\]', shape)
-        nelem = 1
-        if dims and dims[0]:
-            for d in dims[0].split(','):
-                nelem *= int(d)
-        if nelem >= per_shard:
-            offenders.append(f"{m.group(2)} {shape}")
+    offenders = find_batch_collectives(txt, 512 * opts.num_candidates // 8)
     assert not offenders, offenders
 
     # and the step still executes under the mesh

@@ -46,7 +46,7 @@ def _shared_occ(thresh=0.01):
 
 def test_occupancy_path_matches_scene_gt():
     scene = SyntheticScene()
-    ds = scene.make_dataset(n_views=1, h=40, w=40, seed=3)
+    ds = scene.make_dataset(n_views=1, h=32, w=32, seed=3)
 
     # Build an occupancy grid from the analytic density via the real update fn.
     occ = _shared_occ()
@@ -81,8 +81,11 @@ def test_mark_untrained_blocks_unseen_cells():
     assert (np.asarray(occ.density_grid[0])[center] >= 0).all()
 
 
+@pytest.mark.slow
 def test_flat_compaction_matches_topk_path():
-    """render_rays with compaction='flat' (global scatter budget) must agree
+    """[slow lane: compaction='flat' is the non-default scatter fallback;
+    the production topk/flat_frac path keeps its fast-lane parity tests.]
+    render_rays with compaction='flat' (global scatter budget) must agree
     with the default top-k path when neither is budget-limited."""
     import dataclasses
 
@@ -350,8 +353,11 @@ def test_grouped_flat_march_matches_candidate_level():
         assert seg.max() < offs[r] + counts[r]
 
 
+@pytest.mark.slow
 def test_grouped_flat_march_render_parity():
-    """End-to-end render with group_compact on vs off (same budget point,
+    """[slow lane: group_compact is a default-OFF, measured-negative option
+    (PERFORMANCE.md round 2); the default-path guards stay fast.]
+    End-to-end render with group_compact on vs off (same budget point,
     incl. over-budget rays) must match closely; exact when under budget."""
     import dataclasses
 
@@ -427,8 +433,11 @@ def test_flat_gather_matches_sort_selection():
                                    np.asarray(b.xyzs)[va], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_term_rounds_matches_single_round():
-    """Transmittance-terminated multi-round rendering (term_rounds > 1) must
+    """[slow lane: term_rounds defaults to 1 and the default-relevant 2level
+    variant keeps its fast-lane guards below.]
+    Transmittance-terminated multi-round rendering (term_rounds > 1) must
     reproduce the single-round packed render: with generous budgets the only
     samples it may drop are post-saturation ones whose weight is already
     < term_thresh, so images agree to that tolerance."""
