@@ -303,12 +303,10 @@ def main():
     emit()
 
     # ---- section 4: hard-scene capacity ablation --------------------------
-    # halo15/bucket19 at equal steps rank capacity (the gap key); halo18
-    # needs only enough steps to rank against halo15 (VERDICT r4 item 6).
-    arms = (("halo15", "halo", "wrap", 15, 4096, 300),
-            ("bucket19", "bucket", "hash", 19, 2048, 300),
-            ("halo18", "halo", "wrap", 18, 4096, 150))
-    for tag, backend, gridtype, log2t, rays, steps in arms:
+    # halo15/bucket19 at equal steps rank capacity (the gap key).
+    for tag, backend, gridtype, log2t, rays, steps in (
+            ("halo15", "halo", "wrap", 15, 4096, 300),
+            ("bucket19", "bucket", "hash", 19, 2048, 300)):
         if time_left() < 240:
             extra[f"skipped_hard_{tag}"] = "time budget"
             continue
@@ -331,6 +329,22 @@ def main():
             extra["error_wide"] = str(e)[:200]
     else:
         extra["skipped_wide"] = "time budget"
+    emit()
+
+    # ---- section 5b: halo@2^18 capacity rung (VERDICT r4 item 6) ----------
+    # After wide: a capacity-ladder datum, cheaper to lose than the bound=2
+    # line if the budget runs out on a contended chip.
+    if time_left() > 240:
+        try:
+            extra.update(hard_capacity_arm("halo18", "halo", "wrap", 18,
+                                           4096, 300))
+            if "psnr_hard_halo15" in extra:
+                extra["halo18_vs_halo15_db"] = round(
+                    extra["psnr_hard_halo18"] - extra["psnr_hard_halo15"], 2)
+        except Exception as e:  # noqa: BLE001
+            extra["error_hard_halo18"] = str(e)[:200]
+    else:
+        extra["skipped_hard_halo18"] = "time budget"
     emit()
 
     # ---- section 6: max-throughput operating point (16k-ray batches) ------

@@ -16,6 +16,18 @@ from seal3d_tpu.utils.seeding import seed_everything
 
 def main():
     parser = common_parser("seal3d-tpu NGP NeRF")
+    # CLIP-guided random-pose training (reference main_nerf.py:63-64)
+    parser.add_argument("--clip_text", type=str, default="",
+                        help="text prompt for CLIP guidance")
+    parser.add_argument("--clip_model_path", type=str, default=None,
+                        help="local transformers CLIP checkpoint dir "
+                             "(no network egress: weights must be on disk)")
+    parser.add_argument("--clip_random_init", action="store_true",
+                        help="random-weight CLIP (smoke/demo: the guidance "
+                             "math runs, the direction is meaningless)")
+    parser.add_argument("--rand_pose", type=int, default=-1,
+                        help="<0 off, 0 = every step CLIP-guided rand pose, "
+                             ">0 one guided step per N gt steps")
     args = parser.parse_args()
     enable_compile_cache()
     seed_everything(args.seed)
@@ -28,9 +40,24 @@ def main():
     tcfg = build_train_config(args)
     ds = load_dataset(args, "trainval" if not args.test else "test")
 
+    clip_loss = None
+    if args.clip_text and args.rand_pose >= 0:
+        from seal3d_tpu.utils.clip_guidance import CLIPLoss
+
+        clip_loss = CLIPLoss(args.clip_text,
+                             model_path=args.clip_model_path,
+                             random_init=args.clip_random_init)
+        if not clip_loss.available:
+            raise SystemExit("--clip_text needs --clip_model_path (local "
+                             "weights) or --clip_random_init")
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, rand_pose=args.rand_pose)
+
     tr = Trainer(ngp, fcfg, opts, tcfg, dataset=ds,
                  key=jax.random.PRNGKey(args.seed),
-                 use_dense=args.dense_render, name="ngp")
+                 use_dense=args.dense_render, name="ngp",
+                 clip_loss=clip_loss)
     tr.init_state()
 
     if args.ckpt and args.ckpt != "scratch":

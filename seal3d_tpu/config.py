@@ -38,7 +38,12 @@ def enable_compile_cache():
         os.path.join(os.path.expanduser("~"), ".cache", "seal3d_tpu", "xla"))
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persist EVERYTHING: on the tunnel even a trivial eager op is a ~0.5 s
+    # remote-compile RPC, and a process dispatches ~80 of them before its
+    # first big program (measured round 5: 82 sub-1s misses = ~40 s/run
+    # that a >=1s threshold would never cache).
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def common_parser(desc: str) -> argparse.ArgumentParser:

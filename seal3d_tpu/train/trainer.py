@@ -91,16 +91,16 @@ class TrainConfig:
     eval_adaptive: bool = True
     eval_buckets: tuple = (0.0625, 0.125, 0.1875, 0.25, 0.375, 0.5,
                            0.625, 0.75, 1.0)
-    # Tile-ordered eval chunks: full-image renders chunk by 2D TILES
-    # (th x tw = eval_chunk pixels) instead of scanlines. Scanline chunks
-    # at 800x800 span the full image width, so EVERY chunk mixes object
-    # and background and demand-adaptivity has nothing to adapt to; tiles
-    # give the demand probe spatial locality — background tiles render at
-    # the smallest bucket or, when their demand is exactly zero (and no
-    # background net runs), skip the render entirely. Output is assembled
-    # through an inverse permutation; pad slots use rays that miss the
-    # scene AABB (zero demand, zero budget). Requires a power-of-two
-    # eval_chunk; other sizes fall back to scanline chunking.
+    # Z-order eval chunks: full-image renders order pixels along a Morton
+    # curve and chunk contiguously, so each eval_chunk covers a compact 2D
+    # blob instead of a full-width scanline band. Scanline chunks at
+    # 800x800 ALL mix object and background, so demand-adaptivity has
+    # nothing to adapt to; Morton blobs give the demand probe spatial
+    # locality — background chunks render at the smallest bucket or, when
+    # their measured demand is exactly zero (and no background net runs),
+    # skip the render dispatch entirely. Output is assembled through an
+    # inverse permutation; tail pad slots use rays that miss the scene
+    # AABB (zero demand, zero budget).
     eval_tile_chunks: bool = True
     random_bg: bool = True
     error_map: bool = False
@@ -113,6 +113,13 @@ class TrainConfig:
     # whose occupancy is already sharp, e.g. the Seal finetune stage).
     retune_warm: bool = False
     color_space: str = "srgb"  # 'linear' converts gt (reference --color_space)
+    # CLIP-guided random-pose training (reference --rand_pose/--clip_text,
+    # nerf/utils.py:413-417,446-456): < 0 disables, 0 = EVERY step is a
+    # CLIP-guided random pose, > 0 = one guided step per this many gt steps.
+    # Requires a Trainer(clip_loss=...) with a prepared CLIPLoss.
+    rand_pose: int = -1
+    clip_size: int = 128          # guided-render resolution (square)
+    clip_pose_radius: float = 2.2  # random orbit radius for guided poses
     # LR multiplier for non-encoder params (the MLPs). The reference trains
     # D-NeRF nets at lr_net=1e-3 vs encoder lr=1e-2 (main_dnerf.py:25,
     # dnerf/network.py:255-264); NGP uses one lr for both.
@@ -179,7 +186,10 @@ class Trainer:
     def __init__(self, field_mod, field_cfg, opts: RenderOptions,
                  cfg: TrainConfig, dataset=None, key=None, mesh=None,
                  use_dense: bool = False, name: str = "ngp", reg_fn=None,
-                 optimizer=None):
+                 optimizer=None, clip_loss=None):
+        # optional prepared utils.clip_guidance.CLIPLoss for rand-pose
+        # guided steps (cfg.rand_pose >= 0)
+        self.clip_loss = clip_loss
         self.field = field_mod
         self.fcfg = field_cfg
         self.opts = opts
@@ -408,8 +418,14 @@ class Trainer:
         donate = dict(donate_argnums=(0,))
         self._train_step = jax.jit(train_step, **donate)
         self._train_block = jax.jit(train_block, static_argnums=(2,), **donate)
-        self._update_grid_full = jax.jit(partial(update_grid, full=True), **donate)
-        self._update_grid_partial = jax.jit(partial(update_grid, full=False), **donate)
+        # named partials: stable jit names in logs + the persistent cache
+        # (otherwise these serialize as 'jit__unknown')
+        _ugf = partial(update_grid, full=True)
+        _ugf.__name__ = "update_grid_full"
+        _ugp = partial(update_grid, full=False)
+        _ugp.__name__ = "update_grid_partial"
+        self._update_grid_full = jax.jit(_ugf, **donate)
+        self._update_grid_partial = jax.jit(_ugp, **donate)
         self._step_cache[opts.flat_frac] = (self._train_step, self._train_block)
 
         import dataclasses
@@ -596,7 +612,16 @@ class Trainer:
                 if self.cfg.adaptive_budget and (
                         self.cfg.retune_warm or not full):
                     self._retune_budget()
-            if blocked:
+            clip_only = (self.clip_loss is not None
+                         and self.cfg.rand_pose == 0)
+            if clip_only:
+                # reference rand_pose=0: EVERY batch is a CLIP-guided
+                # random pose (no gt at all, nerf/utils.py:446-456)
+                n = 1
+                closs = self.clip_step()
+                metrics = {"loss": jnp.asarray(closs),
+                           "num_samples": jnp.zeros(())}
+            elif blocked:
                 n = min(self.cfg.update_grid_interval, steps - i)
                 if self.use_dense:
                     n = min(steps - i, 64)
@@ -606,6 +631,13 @@ class Trainer:
                 self.state, metrics = self._train_step(self.state, k2)
             i += n
             step_i += n
+            if self.clip_loss is not None and self.cfg.rand_pose > 0:
+                # one guided step interleaved per rand_pose gt steps
+                self._clip_acc = getattr(self, "_clip_acc", 0) + n
+                while self._clip_acc >= self.cfg.rand_pose:
+                    self._clip_acc -= self.cfg.rand_pose
+                    self.clip_step()
+                    step_i += 1
             if (i - 1) % log_every < (1 if not blocked else self.cfg.update_grid_interval) \
                     or i >= steps:
                 metrics = jax.device_get(metrics)
@@ -685,6 +717,76 @@ class Trainer:
                       f"(mean_count={mc:.0f}/{cap})")
             self._build_steps(self._loss_override)
 
+    # -------------------------------------------------- CLIP-guided training
+
+    def _build_clip_step(self):
+        """Jitted pieces of the CLIP-guided random-pose step (reference
+        rand_pose + CLIPLoss, nerf/utils.py:446-456). The CLIP loss runs in
+        host torch; gradients cross the boundary as the image cotangent of
+        a jitted render-vjp (no callbacks inside jit — tunnel-safe)."""
+        import dataclasses
+
+        field, fcfg, cfg = self.field, self.fcfg, self.cfg
+        # dense [N, K] top-k path: gradient-exact, no packing budget to tune
+        copts = dataclasses.replace(self.opts, flat_frac=None)
+
+        def img_render(params, bitfield, rays_o, rays_d, occ_aabb):
+            out = render_rays(params, field, fcfg, bitfield, rays_o, rays_d,
+                              copts, bg_color=1.0,
+                              aabb=self._march_aabb(occ_aabb))
+            return out["image"]
+
+        self._clip_fwd = jax.jit(img_render)
+
+        def img_vjp(params, bitfield, rays_o, rays_d, occ_aabb, ct):
+            _, vjp = jax.vjp(
+                lambda p: img_render(p, bitfield, rays_o, rays_d, occ_aabb),
+                params)
+            return vjp(ct)[0]
+
+        self._clip_bwd = jax.jit(img_vjp)
+
+        def apply_grads(state: TrainState, grads):
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = jax.tree.map(
+                lambda e, p: e * cfg.ema_decay + p * (1.0 - cfg.ema_decay),
+                state.ema_params, params)
+            return state._replace(params=params, opt_state=opt_state,
+                                  ema_params=ema, step=state.step + 1)
+
+        self._apply_ext_grads = jax.jit(apply_grads, donate_argnums=(0,))
+
+    def clip_step(self) -> float:
+        """One CLIP-guided step: render a random orbit pose at cfg.clip_size,
+        pull it toward the prompt. Returns the CLIP loss."""
+        from seal3d_tpu.data.provider import rand_poses
+
+        assert self.clip_loss is not None and self.clip_loss.available, \
+            "clip_step needs Trainer(clip_loss=prepared CLIPLoss)"
+        if not hasattr(self, "_clip_fwd"):
+            self._build_clip_step()
+        s = self.cfg.clip_size
+        rng = np.random.default_rng(int(self.state.step) * 2 + 1)
+        pose = rand_poses(rng, 1, radius=self.cfg.clip_pose_radius,
+                          theta_range=(45, 105))[0]
+        # square intrinsics at the guided resolution (reference renders the
+        # rand pose at full dataset intrinsics; we rescale to clip_size)
+        fx = float(self._intrinsics[0]) * (s / self.dataset.w)
+        intr = jnp.asarray(np.array([fx, fx, s / 2, s / 2], np.float32))
+        rays = get_full_rays(jnp.asarray(pose), intr, s, s)
+        args = (self.state.params, self.state.occ.bitfield,
+                rays["rays_o"], rays["rays_d"], self.state.occ.occ_aabb)
+        img = _transient_retry(self._clip_fwd, *args)
+        loss, g = self.clip_loss.loss_and_grad(
+            np.asarray(img).reshape(s, s, 3))
+        grads = _transient_retry(self._clip_bwd, *args,
+                                 jnp.asarray(g.reshape(-1, 3)))
+        self.state = self._apply_ext_grads(self.state, grads)
+        self._log_scalar("train/clip_loss", loss, int(self.state.step))
+        return loss
+
     def _log(self, msg: str):
         print(msg)
         if self._logfile:
@@ -710,22 +812,29 @@ class Trainer:
         if cache is not None and cache[0] == key:
             return cache[1]
         n = h * w
-        tiled = mode and chunk >= 4 and (chunk & (chunk - 1)) == 0
-        if tiled:
-            import math as _math
+        if mode and n > chunk:
+            # Z-order (Morton) pixel ordering, chunked contiguously: each
+            # chunk covers a compact 2D blob (locality ~a tile) with ZERO
+            # interior padding — rectangular tiles padded 800x800 up to
+            # 896x1024 (+43% slots) and measured SLOWER than scanline
+            # despite the demand locality (bench round 5); Morton blobs
+            # keep the locality at scanline slot count.
+            rr, cc = np.meshgrid(np.arange(h, dtype=np.int64),
+                                 np.arange(w, dtype=np.int64), indexing="ij")
 
-            lg = int(_math.log2(chunk))
-            th = 1 << (lg // 2)
-            tw = chunk // th
-            hp = -(-h // th) * th
-            wp = -(-w // tw) * tw
-            pix = np.full((hp, wp), -1, np.int64)
-            pix[:h, :w] = np.arange(n).reshape(h, w)
-            sel = pix.reshape(hp // th, th, wp // tw, tw) \
-                .transpose(0, 2, 1, 3).reshape(-1, chunk)
-            # pads to the slot tail (stable keeps row-major pixel order)
-            order = np.argsort(sel < 0, axis=1, kind="stable")
-            sel = np.take_along_axis(sel, order, axis=1)
+            def _spread(v):  # interleave-ready bit spread (16 -> 32 bits)
+                v = (v | (v << 8)) & 0x00FF00FF
+                v = (v | (v << 4)) & 0x0F0F0F0F
+                v = (v | (v << 2)) & 0x33333333
+                v = (v | (v << 1)) & 0x55555555
+                return v
+
+            code = _spread(rr) | (_spread(cc) << 1)
+            order = np.argsort(code.reshape(-1), kind="stable")
+            n_chunks = -(-n // chunk)
+            sel = np.concatenate(
+                [order, np.full(n_chunks * chunk - n, -1, np.int64)]) \
+                .reshape(n_chunks, chunk)
         else:
             n_chunks = -(-n // chunk)
             sel = np.concatenate(
