@@ -612,6 +612,53 @@ class GroupPlan(NamedTuple):
     dt_min: float
 
 
+def ladder_plan_kernel(rays_o, rays_d, bitfield, bound: float,
+                       max_steps: int, num_candidates: int, group: int,
+                       min_near: float, aabb, coarse_steps: int,
+                       pool: int = 64):
+    """GroupPlan + fine-demand bound via the fused Pallas ladder kernel
+    (ops/pallas/ladder.py) — one VMEM-resident pass instead of the three
+    XLA ladder materializations (near_far + coarse_tighten + group_plan,
+    ~47 ms/32k-ray chunk -> kernel). kg=-1 / no-perturb / single-cascade /
+    occ_stride == group only (callers gate; see RenderOptions.tl_kernel).
+
+    Returns (plan: GroupPlan, fine_cnt [N] f32 upper bound)."""
+    from seal3d_tpu.ops.pallas.ladder import ladder_plan, pack_tables
+
+    if aabb is None:
+        aabb = jnp.array([-bound, -bound, -bound, bound, bound, bound],
+                         jnp.float32)
+    tabs = pack_tables(bitfield, pool=pool)
+    t0, fars, keep, cnt = ladder_plan(
+        rays_o, rays_d, *tabs, aabb, bound=bound, max_steps=max_steps,
+        num_candidates=num_candidates, group=group, min_near=min_near,
+        n_coarse=coarse_steps, pool=pool)
+    plan = GroupPlan(t0=t0, fars=fars,
+                     stride=jnp.ones((rays_o.shape[0],), jnp.int32),
+                     keep=keep, dt_min=2.0 * SQRT3 / max_steps)
+    return plan, cnt
+
+
+def march_rays_flat_2level_kernel(rays_o, rays_d, bitfield, bound: float,
+                                  cascades: int, max_steps: int, k: int,
+                                  budget: int, num_candidates: int,
+                                  min_near: float = 0.05, aabb=None,
+                                  occ_stride: int = 4, coarse_steps: int = 32,
+                                  group: int = 4, over: float = 1.5,
+                                  pool: int = 64) -> MarchedRays:
+    """march_rays_flat_2level with level 0/1 fused into the Pallas ladder
+    kernel; pack/expand/repack unchanged (pack_groups_expand_fine)."""
+    assert cascades == 1
+    plan, _ = ladder_plan_kernel(rays_o, rays_d, bitfield, bound, max_steps,
+                                 num_candidates, group, min_near, aabb,
+                                 coarse_steps, pool)
+    budget_g = max(-(-int(round(budget * over)) // (group * 16)) * 16, 16)
+    out = pack_groups_expand_fine(plan, plan.keep, 0, rays_o, rays_d,
+                                  bitfield, bound, cascades, group,
+                                  budget, budget_g, occ_stride)
+    return jax.tree.map(jax.lax.stop_gradient, out)
+
+
 def group_plan(rays_o, rays_d, bitfield, bound: float, cascades: int,
                max_steps: int, k: int, num_candidates: int, group: int = 8,
                perturb: jnp.ndarray | None = None, min_near: float = 0.05,

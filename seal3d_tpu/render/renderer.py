@@ -146,6 +146,20 @@ class RenderOptions:
     # (cumsum + boundary gathers; ~1.5x faster composite on big inference
     # chunks at ~2e-3 absolute error — set by the eval/render configs).
     composite_seg: str = "scatter"
+    # Fused Pallas ladder kernel for the two-level march's level 0/1
+    # (ops/pallas/ladder.py): slab + coarse tighten + dilated group test in
+    # one VMEM pass instead of three XLA gather ladders. Applies only when
+    # the two-level path runs with tl_kg == -1, occ_stride == tl_group,
+    # and no perturbation (the eval operating point); other configs use
+    # the XLA group_plan. The trainer enables it on the TPU backend —
+    # interpret mode is orders slower than plain XLA on CPU.
+    tl_kernel: bool = False
+
+    def tl_kernel_ok(self, k: int, jitter) -> bool:
+        return (self.tl_kernel and self.two_level_ok(k)
+                and self.tl_kg == -1 and jitter is None
+                and self.occ_stride == self.tl_group
+                and self.coarse_steps > 0)
 
     def two_level_ok(self, k: int) -> bool:
         """Eligibility gate for the two-level march at this config."""
@@ -362,7 +376,19 @@ def render_rays(params, field, cfg, bitfield, rays_o, rays_d,
             q = 128 * max(shards, 1)
             budget = max(int(round(n * k * opts.flat_frac / q)) * q, q)
             s = opts.occ_stride
-            if opts.two_level_ok(k):
+            if opts.tl_kernel_ok(k, jitter):
+                from seal3d_tpu.ops.raymarch import \
+                    march_rays_flat_2level_kernel
+
+                mf = march_rays_flat_2level_kernel(
+                    rays_o, rays_d, bitfield,
+                    bound=opts.bound, cascades=opts.cascades,
+                    max_steps=opts.max_steps, k=k, budget=budget,
+                    num_candidates=opts.num_candidates,
+                    min_near=opts.min_near, aabb=aabb, occ_stride=s,
+                    coarse_steps=opts.coarse_steps, group=opts.tl_group,
+                    over=opts.tl_over, pool=opts.tl_pool)
+            elif opts.two_level_ok(k):
                 mf = march_rays_flat_2level(
                     rays_o, rays_d, bitfield,
                     bound=opts.bound, cascades=opts.cascades,

@@ -125,51 +125,119 @@ class SealTrainer(Trainer):
 
     # ------------------------------------------------------------ teacher side
 
+    def _teacher_view_setup(self, pose, h, w, chunk):
+        """Z-order chunk layout + padded ray stacks for one teacher view
+        (shares Trainer._chunk_layout; pad slots are AABB-missing rays —
+        zero demand, zero budget)."""
+        from seal3d_tpu.data.rays import get_full_rays
+
+        sel, nv, inv = self._chunk_layout(h, w, chunk)
+        rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
+        selj = jnp.asarray(np.clip(sel, 0, None))
+        ok = jnp.asarray(sel >= 0)[..., None]
+        b = self.opts.bound
+        ro_c = jnp.where(ok, rays["rays_o"][selj],
+                         jnp.array([3.0 * b, 0.0, 0.0], jnp.float32))
+        rd_c = jnp.where(ok, rays["rays_d"][selj],
+                         jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        return ro_c, rd_c, inv
+
+    def _covering_frac(self, need: float, chunk: int):
+        """Smallest flat_frac bucket whose budget covers `need` kept samples
+        (1.02 absorbs the round-to-128); None (dense fallback) when nothing
+        under 1.0 covers — the proxy gt must never thin. 0.0 = the chunk has
+        no occupied samples at all and the render can be skipped outright
+        (constant background; gated off under a background net)."""
+        if need == 0 and self.opts.bg_radius <= 0:
+            return 0.0
+        cap = chunk * self._teacher_opts.budget_per_ray
+        for b in self.cfg.eval_buckets:
+            if b < 1.0 and max(int(round(cap * b / 128)) * 128,
+                               128) >= need * 1.02:
+                return b
+        return None
+
     def render_teacher_view(self, pose, h=None, w=None, chunk=None,
-                            bg_color: float = 1.0, as_numpy: bool = True):
-        """Render one full view through the (mapped) teacher.
+                            bg_color: float = 1.0, as_numpy: bool = True,
+                            fracs=None):
+        """Render one full view through the (mapped) teacher, Z-order
+        chunked like Trainer.render_image.
 
         as_numpy=False returns device arrays WITHOUT a host sync, so callers
         rendering many views (proxy_datasets) can pipeline all dispatches
-        and pay the tunnel round-trip once at the end."""
-        from seal3d_tpu.data.rays import get_full_rays
-
+        and pay the tunnel round-trip once at the end. `fracs` (per chunk:
+        0.0 = skip/background, float = packed at that covering flat_frac,
+        None = dense) comes from a demand probe; without it each chunk
+        probes and syncs itself (fine for previews, serializing for view
+        stacks)."""
         h = h or self.dataset.h
         w = w or self.dataset.w
         # one dispatch per view when it fits; never pad beyond the view
         chunk = chunk or min(self.cfg.eval_chunk, h * w)
-        rays = get_full_rays(jnp.asarray(pose), self._intrinsics, h, w)
+        ro_c, rd_c, inv = self._teacher_view_setup(pose, h, w, chunk)
         imgs, deps = [], []
-        n = h * w
-        for i in range(0, n, chunk):
-            ro = rays["rays_o"][i : i + chunk]
-            rd = rays["rays_d"][i : i + chunk]
-            if ro.shape[0] < chunk:
-                pad = chunk - ro.shape[0]
-                ro = jnp.pad(ro, ((0, pad), (0, 0)))
-                rd = jnp.pad(rd, ((0, pad), (0, 0)), constant_values=1.0)
-            out = self._render_teacher(self.teacher_params,
-                                       self.teacher_bitfield, ro, rd,
-                                       jnp.float32(bg_color))
-            imgs.append(out["image"][: min(chunk, n - i)])
-            deps.append(out["depth"][: min(chunk, n - i)])
-        img = jnp.concatenate(imgs).reshape(h, w, 3)
-        dep = jnp.concatenate(deps).reshape(h, w)
+        for ci in range(ro_c.shape[0]):
+            if fracs is not None:
+                frac = fracs[ci]
+            elif self.opts.compaction == "topk":
+                frac = self._covering_frac(
+                    float(self._teacher_demand(self.teacher_bitfield,
+                                               ro_c[ci], rd_c[ci])), chunk)
+            else:
+                frac = None
+            if frac == 0.0:
+                imgs.append(jnp.full((chunk, 3), bg_color, jnp.float32))
+                deps.append(jnp.zeros((chunk,), jnp.float32))
+                continue
+            out = self._render_teacher_at(frac)(
+                self.teacher_params, self.teacher_bitfield, ro_c[ci],
+                rd_c[ci], jnp.float32(bg_color))
+            imgs.append(out["image"])
+            deps.append(out["depth"])
+        invj = jnp.asarray(inv)
+        img = jnp.concatenate(imgs)[invj].reshape(h, w, 3)
+        dep = jnp.concatenate(deps)[invj].reshape(h, w)
         if as_numpy:
             return np.asarray(img), np.asarray(dep)
         return img, dep
 
     def proxy_datasets(self):
         """Replace gt of the attached dataset with teacher renders
-        (reference train:275-281 -> provider.proxy_dataset). All view
-        renders are dispatched asynchronously; the device->host transfer
-        happens once for the whole stack (a per-view np.asarray serialized
-        every render on the tunnel round-trip — measured 28-37 s for 24
-        views where the pure compute is a few seconds)."""
+        (reference train:275-281 -> provider.proxy_dataset). Two async
+        phases, one host sync each: (1) every view-chunk's packed-march
+        demand over the Z-order layout (picks, per chunk, skip / a covering
+        flat_frac / dense — the field then runs on ~real occupancy instead
+        of all N*K dense slots, and background chunks skip the render
+        dispatch entirely), (2) every view render (a per-view np.asarray
+        serialized every render on the tunnel round-trip — measured 28-37 s
+        for 24 views where the pure compute is a few seconds)."""
         t0 = time.time()
-        ds = proxy_dataset(self.dataset,
-                           lambda p: self.render_teacher_view(p, as_numpy=False),
-                           sync_at_end=True)
+        h, w = self.dataset.h, self.dataset.w
+        chunk = min(self.cfg.eval_chunk, h * w)
+        fracs_per_view = None
+        if self.opts.compaction == "topk":
+            demands = []
+            per_view = None
+            for vi in range(len(self.dataset)):
+                ro_c, rd_c, _ = self._teacher_view_setup(
+                    self.dataset.poses[vi], h, w, chunk)
+                per_view = ro_c.shape[0]
+                for ci in range(per_view):
+                    demands.append(self._teacher_demand(
+                        self.teacher_bitfield, ro_c[ci], rd_c[ci]))
+            demands = np.asarray(jnp.stack(demands))  # ONE sync
+            fracs_per_view = [
+                [self._covering_frac(float(d), chunk)
+                 for d in demands[vi * per_view:(vi + 1) * per_view]]
+                for vi in range(len(self.dataset))]
+        views = iter(range(len(self.dataset)))
+        ds = proxy_dataset(
+            self.dataset,
+            lambda p: self.render_teacher_view(
+                p, as_numpy=False,
+                fracs=(fracs_per_view[next(views)]
+                       if fracs_per_view is not None else None)),
+            sync_at_end=True)
         self.attach_dataset(ds)
         return time.time() - t0
 
@@ -293,30 +361,72 @@ class SealTrainer(Trainer):
         field, fcfg, opts = self.field, self.fcfg, self.opts
 
         # Teacher renders (proxying + previews) inherit the train options
-        # (coarse tightening, occ_stride) at the eval budget but NEVER flat
-        # packing: the hacked bitfield inflates sample demand, the packed
-        # buffer overflows, and overflow drops trailing rays ENTIRELY —
-        # measured 21-24 dB disagreement vs the dense path with ~1.0 max
-        # pixel error (scripts/probe_teacher_pack.py). Proxy renders are
-        # ground truth for the distill; per-ray stride subsampling (dense
-        # [N,K] path) degrades gracefully, global overflow does not.
+        # (coarse tightening, occ_stride) at the eval budget. Flat packing
+        # is used ONLY at a demand-proven budget: the hacked bitfield
+        # inflates sample demand, and a packed buffer that OVERFLOWS thins
+        # the proxy gt (round-2 measured 21-24 dB disagreement under the
+        # old truncating overflow, scripts/probe_teacher_pack.py). Round 5:
+        # a per-chunk march-count probe picks the smallest flat_frac whose
+        # budget covers the chunk's EXACT kept-sample demand — the packed
+        # stream is then bit-identical to the dense [N,K] path's kept
+        # candidates (tests/test_render_paths.py::test_march_rays_flat_
+        # matches_grid_then_pack) — and chunks that no fraction covers fall
+        # back to the dense path. Cuts the field cost of a proxy render by
+        # the chunk's real occupancy (~2-4x on the bbox recipe).
         import dataclasses
 
         teacher_opts = dataclasses.replace(
             opts, budget_per_ray=self.cfg.eval_budget_per_ray,
             flat_frac=None)
+        self._teacher_opts = teacher_opts
 
-        def render_teacher(params, bitfield, rays_o, rays_d, bg_color):
+        def render_teacher(params, bitfield, rays_o, rays_d, bg_color,
+                           *, frac=None):
+            t_opts = dataclasses.replace(teacher_opts, flat_frac=frac)
             return render_rays(params, self.teacher_field, fcfg, bitfield,
-                               rays_o, rays_d, teacher_opts,
+                               rays_o, rays_d, t_opts,
                                bg_color=bg_color)
 
+        self._render_teacher_fn = render_teacher
         self._render_teacher = jax.jit(render_teacher)
+        self._render_teacher_cache = {None: self._render_teacher}
+
+        def teacher_demand(bitfield, rays_o, rays_d):
+            """Exact kept-sample demand of the dense/packed teacher march
+            (same per-ray stride-cap formula as compact_flat_*)."""
+            from seal3d_tpu.ops.raymarch import march_candidates
+
+            _, _, valid = march_candidates(
+                rays_o, rays_d, bitfield, teacher_opts.bound,
+                teacher_opts.cascades, teacher_opts.dt_gamma,
+                teacher_opts.max_steps, teacher_opts.num_candidates,
+                min_near=teacher_opts.min_near,
+                occ_stride=teacher_opts.occ_stride,
+                coarse_steps=teacher_opts.coarse_steps,
+                span_adaptive=teacher_opts.span_adaptive)
+            rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+            count = rank[:, -1:]
+            stride = jnp.maximum(jnp.ceil(
+                count / teacher_opts.budget_per_ray).astype(jnp.int32), 1)
+            keep = valid & (((rank - 1) % stride) == 0)
+            return keep.sum()
+
+        self._teacher_demand = jax.jit(teacher_demand)
 
         def teacher_apply(params, x, d):
             return field.apply(params, fcfg, x, d)
 
         self._teacher_apply = jax.jit(teacher_apply)
+
+    def _render_teacher_at(self, frac):
+        """Jitted teacher render at a flat_frac bucket (None = dense)."""
+        fn = self._render_teacher_cache.get(frac)
+        if fn is None:
+            from functools import partial as _partial
+
+            fn = jax.jit(_partial(self._render_teacher_fn, frac=frac))
+            self._render_teacher_cache[frac] = fn
+        return fn
 
     def _build_pretrain_opt(self, lr: float, sigma_log_space: bool = True):
         """Pretrain optimizer: grid params only at constant high LR

@@ -444,7 +444,15 @@ class Trainer:
                 tl_group=cfg.eval_tl_group or opts.tl_group,
                 tl_pool=cfg.eval_tl_pool or opts.tl_pool,
                 coarse_steps=(cfg.eval_coarse_steps
-                              if opts.coarse_steps else 0))
+                              if opts.coarse_steps else 0),
+                # fused ladder kernel: OPT-IN (RenderOptions.tl_kernel).
+                # Measured round 5 on the chip: ~62 ms vs the XLA
+                # group_plan's ~57 ms per 32k-ray chunk — the one-hot MXU
+                # lookups tie, not beat, XLA's gathers at these table
+                # sizes (ops/pallas/ladder.py keeps the groundwork +
+                # parity tests; the closed-form demand formula it
+                # introduced is used by the XLA probe below).
+                tl_kernel=opts.tl_kernel)
 
         def render_eval(params, bitfield, rays_o, rays_d, bg, key,
                         occ_aabb=None, *, frac=cfg.eval_flat_frac):
@@ -520,7 +528,72 @@ class Trainer:
 
                 n_valid masks trailing pad rays out of both counts (the
                 padded tail chunk's pads otherwise march through the scene
-                center and inflate its bucket, ADVICE r4 item 3)."""
+                center and inflate its bucket, ADVICE r4 item 3). On the
+                fused-kernel eval point the probe is two reductions of the
+                ladder kernel's outputs (fine count is its upper bound —
+                bucket choices stay lossless)."""
+                if uncapped and eval_opts0.tl_kernel_ok(ek, None):
+                    from seal3d_tpu.ops.raymarch import ladder_plan_kernel
+
+                    plan, cnt = ladder_plan_kernel(
+                        rays_o, rays_d, bitfield, eval_opts0.bound,
+                        eval_opts0.max_steps, eval_opts0.num_candidates,
+                        eval_opts0.tl_group, eval_opts0.min_near,
+                        _march_aabb(occ_aabb), eval_opts0.coarse_steps,
+                        eval_opts0.tl_pool)
+                    keep = plan.keep
+                    if n_valid is not None:
+                        rok = (jnp.arange(cnt.shape[0], dtype=jnp.int32)
+                               < n_valid)
+                        cnt = jnp.where(rok, cnt, 0.0)
+                        keep = keep & rok[:, None]
+                    return jnp.stack([cnt.sum().astype(jnp.int32),
+                                      keep.sum().astype(jnp.int32)])
+                if (uncapped
+                        and eval_opts0.occ_stride == eval_opts0.tl_group
+                        and eval_opts0.coarse_steps > 0):
+                    # Closed-form demand at GROUP granularity (no [N, C]
+                    # ladder): fine demand = occupied group reps x members
+                    # inside the tightened interval — an upper bound of
+                    # the fine repack's kept members (bounds-trim only
+                    # shrinks it), so buckets stay lossless. One [N, CG]
+                    # pass instead of the [N, C] march_candidates
+                    # materialization (~48 -> ~35 ms per 32k chunk).
+                    from seal3d_tpu.ops.raymarch import occupancy_at
+
+                    g = eval_opts0.tl_group
+                    plan = group_plan(
+                        rays_o, rays_d, bitfield, bound=eval_opts0.bound,
+                        cascades=eval_opts0.cascades,
+                        max_steps=eval_opts0.max_steps, k=ek,
+                        num_candidates=eval_opts0.num_candidates, group=g,
+                        min_near=eval_opts0.min_near,
+                        aabb=_march_aabb(occ_aabb),
+                        coarse_steps=eval_opts0.coarse_steps, kg=-1,
+                        pool=eval_opts0.tl_pool)
+                    cgn = eval_opts0.num_candidates // g
+                    gi = jnp.arange(cgn, dtype=jnp.float32)
+                    tr_ = plan.t0[:, None] + gi[None, :] * (g * plan.dt_min)
+                    xyz = rays_o[:, None, :] \
+                        + tr_[..., None] * rays_d[:, None, :]
+                    occ_f = occupancy_at(xyz, jnp.full_like(tr_,
+                                                            plan.dt_min),
+                                         bitfield, eval_opts0.cascades,
+                                         eval_opts0.bound)
+                    n_cand = jnp.maximum(
+                        (plan.fars - plan.t0) / plan.dt_min, 0.0)
+                    members = jnp.clip(n_cand[:, None] - gi[None, :] * g,
+                                       0.0, float(g))
+                    cnt = jnp.where(plan.keep & occ_f,
+                                    jnp.ceil(members), 0.0)
+                    keep = plan.keep
+                    if n_valid is not None:
+                        rok = (jnp.arange(cnt.shape[0], dtype=jnp.int32)
+                               < n_valid)[:, None]
+                        cnt = jnp.where(rok, cnt, 0.0)
+                        keep = keep & rok
+                    return jnp.stack([cnt.sum().astype(jnp.int32),
+                                      keep.sum().astype(jnp.int32)])
                 _, _, valid = march_candidates(
                     rays_o, rays_d, bitfield, eval_opts0.bound,
                     eval_opts0.cascades, eval_opts0.dt_gamma,

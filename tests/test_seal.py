@@ -428,3 +428,55 @@ def test_pretrain_block_failure_leaves_trainer_usable(tmp_path):
     student._pretrain_block = real_block
     losses = student.pretrain_epochs(1)
     assert np.all(np.isfinite(losses))
+
+
+def test_packed_teacher_render_matches_dense(tmp_path):
+    """The demand-bucketed packed teacher render must reproduce the dense
+    [N,K] proxy render: the covering budget keeps the packed stream equal to
+    the dense path's kept candidates (round-5 replacement of the round-2
+    'never flat-pack the teacher' rule — that rule predated graceful
+    overflow AND the exact-demand probe)."""
+    from seal3d_tpu.data.synthetic import SyntheticScene
+    from seal3d_tpu.models import ngp
+    from seal3d_tpu.models.ngp import NGPConfig
+    from seal3d_tpu.render.occupancy import occupancy_init, occupancy_update
+    from seal3d_tpu.render.renderer import RenderOptions
+    from seal3d_tpu.seal.mappers import build_mapper
+    from seal3d_tpu.seal.trainer import SealTrainer
+    from seal3d_tpu.train.trainer import TrainConfig
+
+    ds = SyntheticScene().make_dataset(n_views=2, h=24, w=24, seed=0)
+    fcfg = NGPConfig(bound=1.0, log2_hashmap_size=12)
+    opts = RenderOptions(bound=1.0, num_steps=32, upsample_steps=0,
+                         min_near=0.05, budget_per_ray=24, num_candidates=128,
+                         max_steps=256, coarse_steps=32)
+    tcfg = TrainConfig(lr=1e-2, max_steps=100, num_rays=64, eval_chunk=192,
+                       eval_budget_per_ray=32, random_bg=False)
+    config = {
+        "type": "bbox",
+        "raw": _cube_points(np.array([0.3, 0.1, 0.0]), 0.2, n=3).tolist(),
+        "transform": _translate(np.array([0.0, 0.3, 0.0])).tolist(),
+        "scale": [1.0, 1.0, 1.0],
+    }
+    mapper = build_mapper(config, workspace=str(tmp_path))
+    # realistic sparse occupancy so covering buckets < 1.0 exist
+    occ = occupancy_update(occupancy_init(cascades=1),
+                           SyntheticScene().density, jax.random.PRNGKey(2),
+                           bound=1.0, density_thresh=0.01, full=True)
+    student = SealTrainer(ngp, fcfg, opts, tcfg, mapper,
+                          teacher_params=ngp.init(jax.random.PRNGKey(0), fcfg),
+                          teacher_bitfield=occ.bitfield,
+                          dataset=ds, key=jax.random.PRNGKey(1))
+    student.init_state()
+
+    n_chunks = -(-24 * 24 // 192)
+    img_d, dep_d = student.render_teacher_view(ds.poses[0],
+                                               fracs=[None] * n_chunks)
+    img_p, dep_p = student.render_teacher_view(ds.poses[0])  # probe path
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dep_p), np.asarray(dep_d),
+                               atol=1e-3)
+    # the probe actually engaged packing on at least one chunk
+    used = [f for f in student._render_teacher_cache if f is not None]
+    assert used, "no chunk selected a packed bucket (test setup too dense?)"
