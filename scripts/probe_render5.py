@@ -70,7 +70,7 @@ def main():
     intr_val = jnp.asarray(ds.intrinsics)
     pose = ds.poses[0]
 
-    arms = sys.argv[1:] or ["morton", "scanline", "morton64k", "1l-fixed"]
+    arms = sys.argv[1:] or ["morton", "scanline", "morton64k", "1l-fixed", "1l-adaptive"]
     base_cfg = tr.cfg
 
     def run_arm(tag, cfg_kw, chunk=None):
@@ -151,6 +151,11 @@ def main():
     if "1l-fixed" in arms:
         run_arm("1l-fixed", dict(eval_two_level=False, eval_adaptive=False,
                                  eval_flat_frac=0.375))
+    if "1l-adaptive" in arms:
+        # single-level march + demand buckets + Z-order + skip: the
+        # stride-capped probe demand is exact, buckets lossless at k
+        run_arm("1l-adaptive", dict(eval_two_level=False, eval_adaptive=True,
+                                    eval_flat_frac=0.5))
 
 
 if __name__ == "__main__":

@@ -219,7 +219,11 @@ def test_seal_bbox_edit_e2e(tmp_path):
                           surrounding_point_step=0.04,
                           global_point_step=0.15)
     student.init_pretraining(pcfg)
-    loc = student.pretrain_data["local"]
+    # shells are stored batched [n_batches, B, ...] since the scan-fused
+    # pretraining (0f11305); flatten for the direct-field error probe
+    loc = {k: jnp.reshape(v, (-1,) + tuple(v.shape[2:]))
+           for k, v in student.pretrain_data["local"].items()
+           if k != "n_batches"}
 
     def local_err(params):
         s, c = ngp.apply(params, fcfg, loc["points"], loc["dirs"])
