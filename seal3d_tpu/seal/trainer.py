@@ -418,6 +418,32 @@ class SealTrainer(Trainer):
 
         self._teacher_apply = jax.jit(teacher_apply)
 
+        # Occupancy update with the bitfield re-hack + march-AABB expansion
+        # FUSED into the same program: the finetune loop refreshes the grid
+        # every 16 steps and the separate hack dispatch cost ~0.56 s/block
+        # on the tunnel (~17 s per 500-step edit; PERFORMANCE.md round 5).
+        hb, hm, ha = self._hack_bytes, self._hack_masks, self._hack_aabb
+
+        def update_grid_and_hack(state, key, full: bool):
+            st = self._update_grid_fn(state, key, full=full)
+            occ = st.occ
+            aabb = occ.occ_aabb
+            if aabb is not None:
+                aabb = jnp.concatenate([jnp.minimum(aabb[:3], ha[:3]),
+                                        jnp.maximum(aabb[3:], ha[3:])])
+            return st._replace(occ=occ._replace(
+                bitfield=hack_bitfield(occ.bitfield, hb, hm),
+                occ_aabb=aabb))
+
+        from functools import partial as _p
+
+        _hf = _p(update_grid_and_hack, full=True)
+        _hf.__name__ = "update_grid_hacked_full"
+        _hp = _p(update_grid_and_hack, full=False)
+        _hp.__name__ = "update_grid_hacked_partial"
+        self._update_grid_hacked_full = jax.jit(_hf, donate_argnums=(0,))
+        self._update_grid_hacked_partial = jax.jit(_hp, donate_argnums=(0,))
+
     def _render_teacher_at(self, frac):
         """Jitted teacher render at a flat_frac bucket (None = dense)."""
         fn = self._render_teacher_cache.get(frac)
@@ -550,18 +576,23 @@ class SealTrainer(Trainer):
         self.state = self.state._replace(params=params, ema_params=ema)
         return np.asarray(losses)
 
+    def _grid_update_fns(self):
+        """The train loop's occupancy refreshes run the hack-FUSED programs
+        (one dispatch per block; reference update_extra_state hook
+        SealNeRF/renderer.py:50-60). restore_grid still uses the base
+        un-hacked update directly."""
+        return self._update_grid_hacked_full, self._update_grid_hacked_partial
+
     def _post_grid_update(self):
-        """Keep the bitfield hack + expanded march AABB alive across the base
-        trainer's periodic occupancy refreshes."""
-        self._apply_hack()
+        """No-op: the re-hack is fused into _grid_update_fns' programs."""
 
     def update_grid_hacked(self, key, full=False):
-        """Occupancy refresh + re-hack (reference update_extra_state hook
-        SealNeRF/renderer.py:50-60); the march AABB is expanded to keep the
-        (initially empty) edit region inside the candidate ladders."""
-        fn = self._update_grid_full if full else self._update_grid_partial
+        """Occupancy refresh + re-hack in ONE program; the march AABB is
+        expanded to keep the (initially empty) edit region inside the
+        candidate ladders."""
+        fn = (self._update_grid_hacked_full if full
+              else self._update_grid_hacked_partial)
         self.state = fn(self.state, key)
-        self._apply_hack()
 
     def restore_grid(self, key=None):
         """Drop the bitfield force-fill after the edit is distilled

@@ -418,6 +418,9 @@ class Trainer:
         donate = dict(donate_argnums=(0,))
         self._train_step = jax.jit(train_step, **donate)
         self._train_block = jax.jit(train_block, static_argnums=(2,), **donate)
+        # raw (unjitted) update for subclasses that fuse post-processing
+        # into the same program (SealTrainer's bitfield re-hack)
+        self._update_grid_fn = update_grid
         # named partials: stable jit names in logs + the persistent cache
         # (otherwise these serialize as 'jit__unknown')
         _ugf = partial(update_grid, full=True)
@@ -672,7 +675,8 @@ class Trainer:
             self.loop_key, k1, k2 = jax.random.split(self.loop_key, 3)
             if not self.use_dense and step_i % self.cfg.update_grid_interval == 0:
                 full = iter_density < self.cfg.full_grid_updates
-                fn = self._update_grid_full if full else self._update_grid_partial
+                ugf, ugp = self._grid_update_fns()
+                fn = ugf if full else ugp
                 self.state = fn(self.state, k1)
                 iter_density += 1
                 self._post_grid_update()
@@ -723,6 +727,12 @@ class Trainer:
                               f"loss={metrics['loss']:.5f} "
                               f"({i / dt:.1f} it/s)")
         return last_metrics
+
+    def _grid_update_fns(self):
+        """The (full, partial) occupancy-update transitions the train loop
+        uses. SealTrainer overrides this with hack-fused programs so the
+        per-block bitfield re-hack costs no extra dispatch."""
+        return self._update_grid_full, self._update_grid_partial
 
     def _post_grid_update(self):
         """Hook after each occupancy refresh (Seal re-applies the bitfield
